@@ -1,0 +1,86 @@
+"""Fused remap + tonemap: the framework's single-image hot entry point.
+
+One jitted program: coordinate field -> rotate -> project -> gather
+interpolate -> exposure/Reinhard. XLA fuses the elementwise stages around
+the gathers; on TPU the Pallas kernel path (ops/pallas/remap_kernel.py)
+replaces the gather stage when eligible, unless --pure-xla forces the
+reference XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.lens import LensSpec
+from . import color as color_ops
+from . import dispatch
+from . import remap as remap_ops
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "in_lens",
+        "out_lens",
+        "out_h",
+        "out_w",
+        "interp",
+        "n_samples",
+        "exposure",
+        "reinhard",
+    ),
+)
+def remap_tonemap(
+    src: jax.Array,
+    rotation: Optional[jax.Array],
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    exposure: float = 1.0,
+    reinhard: float = 1.0,
+) -> jax.Array:
+    """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
+    use_pallas = False
+    if not dispatch.pure_xla_forced():
+        from .pallas import remap_kernel
+
+        use_pallas = remap_kernel.supported(src, in_lens, out_lens, interp, n_samples)
+
+    if use_pallas:
+        from .pallas import remap_kernel
+
+        out = remap_kernel.remap_pallas(
+            src,
+            rotation,
+            in_lens=in_lens,
+            out_lens=out_lens,
+            out_h=out_h,
+            out_w=out_w,
+            interp=interp,
+            n_samples=n_samples,
+            exposure=exposure,
+            reinhard=reinhard,
+        )
+        return out
+
+    out = remap_ops.remap_image(
+        src,
+        rotation,
+        in_lens=in_lens,
+        out_lens=out_lens,
+        out_h=out_h,
+        out_w=out_w,
+        interp=interp,
+        n_samples=n_samples,
+    )
+    if exposure != 1.0 or reinhard != 1.0:
+        out = color_ops.post_process(out, exposure, reinhard)
+    return out

@@ -1,0 +1,109 @@
+"""Multi-chip sharded remap step (shard_map over a (batch, rows) mesh).
+
+The full device-side "step" of the framework: a batch of source images,
+sharded over chips, is reprojected + tonemapped into a sharded output
+batch. Per-device work is a row-band of each output image; the only
+collective is an all_gather of source row-bands along the ``rows`` axis
+(tiled, rides ICI) because lens remaps gather globally from the source —
+for full-360 equirectangular inputs the horizontal wrap makes every
+device's band potentially read every source column, which is why the
+source is gathered rather than halo-exchanged (SURVEY.md §5.7).
+
+Scaling model (v5e-class chip, 4K RGBAZ f32 source ≈ 170 MB): the
+replicated source fits HBM comfortably, so gather-all is the right
+trade — the all_gather is bandwidth-cheap relative to the 16-tap bicubic
+gather traffic, and no halo bookkeeping enters the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.lens import LensSpec
+from ..ops import color as color_ops
+from ..ops import remap as remap_ops
+from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replicated
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "in_lens",
+        "out_lens",
+        "out_h",
+        "out_w",
+        "interp",
+        "n_samples",
+        "exposure",
+        "reinhard",
+    ),
+)
+def sharded_remap_step(
+    batch: jax.Array,
+    rotation: Optional[jax.Array],
+    *,
+    mesh: Mesh,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    exposure: float = 1.0,
+    reinhard: float = 1.0,
+) -> jax.Array:
+    """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
+
+    B must divide by mesh 'batch', H and out_h by mesh 'rows'.
+    """
+    n_rows = mesh.shape[ROWS_AXIS]
+    if out_h % n_rows != 0:
+        raise ValueError(f"out_h={out_h} not divisible by rows axis {n_rows}")
+    band = out_h // n_rows
+
+    rot_spec = P() if rotation is not None else None
+
+    def step(local_src, rot):
+        # local_src: (B/b, H/r, W, C). Gather full source rows along ICI.
+        full_src = jax.lax.all_gather(local_src, ROWS_AXIS, axis=1, tiled=True)
+        row0 = jax.lax.axis_index(ROWS_AXIS) * band
+
+        def one(img):
+            out = remap_ops.remap_image(
+                img,
+                rot,
+                in_lens=in_lens,
+                out_lens=out_lens,
+                out_h=out_h,
+                out_w=out_w,
+                interp=interp,
+                n_samples=n_samples,
+                row_offset=row0,
+                row_count=band,
+            )
+            if exposure != 1.0 or reinhard != 1.0:
+                out = color_ops.post_process(out, exposure, reinhard)
+            return out
+
+        return jax.vmap(one)(full_src)
+
+    in_specs = (P(BATCH_AXIS, ROWS_AXIS, None, None), rot_spec)
+    out_specs = P(BATCH_AXIS, ROWS_AXIS, None, None)
+    if rotation is None:
+        fn = jax.shard_map(
+            lambda s: step(s, None), mesh=mesh, in_specs=(in_specs[0],), out_specs=out_specs
+        )
+        return fn(batch)
+    fn = jax.shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return fn(batch, rotation)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host (B, H, W, C) batch with (batch, rows) input sharding."""
+    return jax.device_put(batch, input_sharding(mesh))
