@@ -162,6 +162,36 @@ def _dtype_for(ptype: int):
     raise ValueError(f"unknown EXR pixel type {ptype}")
 
 
+def _dst_slot_for(name: str, layout: "DataLayout") -> int:
+    """Channel-name -> interleaved slot (src/image_formats.cpp:271-284).
+
+    Unknown names land in slot 0 (reference quirk, last writer wins).
+    """
+    if name == "R":
+        return 0
+    if name == "G":
+        return 1
+    if name == "B":
+        return 2
+    if name == "A":
+        return 3 if layout in (DataLayout.RGBA, DataLayout.RGBAZ) else 0
+    if name == "Z":
+        return {DataLayout.RGBZ: 3, DataLayout.RGBAZ: 4}.get(layout, 0)
+    return 0
+
+
+def _layout_for_names(names) -> "DataLayout":
+    found_a = "A" in names
+    found_z = "Z" in names
+    if found_a and found_z:
+        return DataLayout.RGBAZ
+    if found_a:
+        return DataLayout.RGBA
+    if found_z:
+        return DataLayout.RGBZ
+    return DataLayout.RGB
+
+
 def read_exr_channels(path: str) -> Tuple[Dict[str, np.ndarray], List[str]]:
     """Decode an EXR into {channel_name: (H, W) float32}, plus file order."""
     with open(path, "rb") as f:
@@ -208,35 +238,53 @@ def read_exr(path: str) -> ImageBuffer:
 
     Layout detection and channel->slot mapping replicate
     src/image_formats.cpp:228-284 (incl. unknown names landing in slot 0).
+    Uses the native C++ block decoder (parallel inflate + predictor +
+    half->float + interleave) when available; numpy fallback otherwise.
     """
-    chans, order = read_exr_channels(path)
-    found_a = "A" in chans
-    found_z = "Z" in chans
-    if found_a and found_z:
-        layout = DataLayout.RGBAZ
-    elif found_a:
-        layout = DataLayout.RGBA
-    elif found_z:
-        layout = DataLayout.RGBZ
-    else:
-        layout = DataLayout.RGB
+    native_result = _read_exr_native(path)
+    if native_result is not None:
+        return native_result
 
+    chans, order = read_exr_channels(path)
+    layout = _layout_for_names(chans)
     n = len(order)
     h, w = next(iter(chans.values())).shape
     data = np.zeros((h, w, n), dtype=np.float32)
     for name in order:
-        dst = 0
-        if name == "R":
-            dst = 0
-        elif name == "G":
-            dst = 1
-        elif name == "B":
-            dst = 2
-        elif name == "A":
-            dst = 3 if layout in (DataLayout.RGBA, DataLayout.RGBAZ) else 0
-        elif name == "Z":
-            dst = {DataLayout.RGBZ: 3, DataLayout.RGBAZ: 4}.get(layout, 0)
-        data[:, :, dst] = chans[name]
+        data[:, :, _dst_slot_for(name, layout)] = chans[name]
+    return ImageBuffer(data=data, layout=layout)
+
+
+def _read_exr_native(path: str) -> Optional[ImageBuffer]:
+    """Native decode path; returns None when inapplicable (falls back)."""
+    from ..utils import native
+
+    if not native.available():
+        return None
+    with open(path, "rb") as f:
+        buf = f.read()
+    try:
+        hdr, off = _parse_header(buf)
+    except ValueError:
+        return None
+    if hdr.compression not in _SCANLINES_PER_BLOCK:
+        return None
+    if any(pt == _PIXELTYPE_UINT for _, pt in hdr.channels):
+        return None
+    w, h = hdr.width, hdr.height
+    lines_per_block = _SCANLINES_PER_BLOCK[hdr.compression]
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = np.frombuffer(buf, dtype="<u8", count=n_blocks, offset=off)
+    names = [name for name, _ in hdr.channels]
+    layout = _layout_for_names(names)
+    dst_slots = np.asarray([_dst_slot_for(n_, layout) for n_ in names], dtype=np.int32)
+    pixel_types = np.asarray([pt for _, pt in hdr.channels], dtype=np.int32)
+    data = native.exr_decode(
+        buf, offsets, hdr.compression, lines_per_block, w, h,
+        hdr.data_window[1], pixel_types, dst_slots, len(names),
+    )
+    if data is None:
+        return None
     return ImageBuffer(data=data, layout=layout)
 
 
@@ -285,24 +333,37 @@ def write_exr(
     attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
     header += b"\x00"
 
-    half = img.astype("<f2")  # f32 -> IEEE half, like the reference's f32->f16 pass
     n_blocks = (h + lines_per_block - 1) // lines_per_block
 
+    payloads = None
+    if comp != _COMP_NONE:
+        # Native parallel block encode (half conversion + predictor + deflate).
+        from ..utils import native
+
+        payloads = native.exr_encode_blocks(
+            img, np.asarray(sort_idx, dtype=np.int32), lines_per_block, level
+        )
+
     blocks = []
-    for bi in range(n_blocks):
-        y0 = bi * lines_per_block
-        y1 = min(y0 + lines_per_block, h)
-        # (lines, channels, w) in sorted-channel order -> raw bytes
-        rows = half[y0:y1]  # (L, W, C)
-        planar = np.ascontiguousarray(rows[:, :, sort_idx].transpose(0, 2, 1))
-        raw = planar.view(np.uint8).reshape(-1)
-        if comp == _COMP_NONE:
-            payload = raw.tobytes()
-        else:
-            payload = _zip_compress(raw, level)
-            if len(payload) >= raw.size:
+    if payloads is not None:
+        for bi, payload in enumerate(payloads):
+            blocks.append((bi * lines_per_block, payload))
+    else:
+        half = img.astype("<f2")  # f32 -> IEEE half, like the ref's f32->f16 pass
+        for bi in range(n_blocks):
+            y0 = bi * lines_per_block
+            y1 = min(y0 + lines_per_block, h)
+            # (lines, channels, w) in sorted-channel order -> raw bytes
+            rows = half[y0:y1]  # (L, W, C)
+            planar = np.ascontiguousarray(rows[:, :, sort_idx].transpose(0, 2, 1))
+            raw = planar.view(np.uint8).reshape(-1)
+            if comp == _COMP_NONE:
                 payload = raw.tobytes()
-        blocks.append((y0, payload))
+            else:
+                payload = _zip_compress(raw, level)
+                if len(payload) >= raw.size:
+                    payload = raw.tobytes()
+            blocks.append((y0, payload))
 
     table_off = len(header) + 8 * n_blocks
     out = bytearray(header)
