@@ -33,6 +33,7 @@ from .models.lens import (
     Equirectangular,
     FisheyeEquidistant,
     FisheyeEquisolid,
+    FisheyeStereographic,
     LensSpec,
     Rectilinear,
     full_equirectangular,
@@ -69,6 +70,19 @@ def parse_equisolid(lstr: str, res_x: float, res_y: float) -> FisheyeEquisolid:
     fov = float(parts[2])
     sensor_height = float(res_y) / float(res_x) * sensor_width
     return FisheyeEquisolid(focal_length, fov, sensor_width, sensor_height)
+
+
+def parse_stereographic(lstr: str, res_x: float, res_y: float) -> FisheyeStereographic:
+    """--stereographic focal_len,sensor_width,fov (framework extension —
+    enum-only in the reference, src/config.hpp:11)."""
+    parts = lstr.split(",")
+    if len(parts) < 3:
+        raise CliError("Error: Required format for --stereographic focal_len,sensor_width,fov")
+    focal_length = float(parts[0])
+    sensor_width = float(parts[1])
+    fov = float(parts[2])
+    sensor_height = float(res_y) / float(res_x) * sensor_width
+    return FisheyeStereographic(focal_length, fov, sensor_width, sensor_height)
 
 
 def parse_equidistant(lstr: str, res_x: float, res_y: float) -> FisheyeEquidistant:
@@ -144,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--i-rectilinear", metavar="focal_length,sensor_width")
     g.add_argument("--i-equisolid", metavar="focal_length,sensor_width,fov")
     g.add_argument("--i-equidistant", metavar="fov")
+    g.add_argument("--i-stereographic", metavar="focal_length,sensor_width,fov", help="(extension)")
     g.add_argument("--i-equirectangular", metavar="long_min,long_max,lat_min,lat_max (radians)")
 
     g = p.add_argument_group("Output optics")
@@ -151,6 +166,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rectilinear", metavar="focal_length,sensor_width")
     g.add_argument("--equisolid", metavar="focal_length,sensor_width,fov")
     g.add_argument("--equidistant", metavar="fov")
+    g.add_argument("--stereographic", metavar="focal_length,sensor_width,fov", help="(extension)")
     g.add_argument("--equirectangular", metavar="longitude_min,longitude_max,latitude_min,latitude_max")
     g.add_argument("--rotation", default="0.0", metavar="pan,pitch,roll (degrees)", help="Specify a rotation")
 
@@ -185,12 +201,15 @@ def _resolve_input_lens(args, ires_x: int, ires_y: int) -> LensSpec:
         found.append(parse_equisolid(args.i_equisolid, ires_x, ires_y))
     if args.i_equidistant:
         found.append(parse_equidistant(args.i_equidistant, ires_x, ires_y))
+    if args.i_stereographic:
+        found.append(parse_stereographic(args.i_stereographic, ires_x, ires_y))
     if args.i_equirectangular:
         found.append(parse_equirectangular(args.i_equirectangular, ires_x, ires_y))
     if len(found) > 1:
         raise CliError(
             "Error: only specify one input lens type: [--i-rectilinear, "
-            "--i-equisolid, --i-equidistant, --i-equirectangular]."
+            "--i-equisolid, --i-equidistant, --i-stereographic, "
+            "--i-equirectangular]."
         )
     if not found:
         raise CliError("Error: No input lens specified (use --i-... flags with --no-configs).")
@@ -205,6 +224,8 @@ def _resolve_output_lens(args, ores_x: int, ores_y: int, input_lens: LensSpec) -
         found.append(parse_equisolid(args.equisolid, ores_x, ores_y))
     if args.equidistant:
         found.append(parse_equidistant(args.equidistant, ores_x, ores_y))
+    if args.stereographic:
+        found.append(parse_stereographic(args.stereographic, ores_x, ores_y))
     if args.equirectangular:
         found.append(parse_equirectangular(args.equirectangular, ores_x, ores_y))
     if args.no_reproject:
@@ -212,7 +233,8 @@ def _resolve_output_lens(args, ores_x: int, ores_y: int, input_lens: LensSpec) -
     if len(found) > 1:
         raise CliError(
             "Error: only specify one output lens type: [--rectilinear, "
-            "--equisolid, --equidistant, --equirectangular, --no-reproject]."
+            "--equisolid, --equidistant, --stereographic, "
+            "--equirectangular, --no-reproject]."
         )
     if not found:
         raise CliError("Error: No output lens specified.")

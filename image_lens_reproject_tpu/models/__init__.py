@@ -2,6 +2,7 @@ from .lens import (  # noqa: F401
     Equirectangular,
     FisheyeEquidistant,
     FisheyeEquisolid,
+    FisheyeStereographic,
     LensSpec,
     LensType,
     Rectilinear,

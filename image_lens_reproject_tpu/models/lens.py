@@ -80,6 +80,25 @@ class FisheyeEquisolid:
 
 
 @dataclasses.dataclass(frozen=True)
+class FisheyeStereographic:
+    """Stereographic fisheye, r_mm = 2 f tan(theta/2).
+
+    The reference declares FISHEYE_STEREOGRAPHIC in its enum
+    (src/config.hpp:11) but has no parser, no JSON mapping and no math —
+    it is enum-only. This framework implements the standard stereographic
+    model as a gap-fill extension (CLI: --i-stereographic/--stereographic,
+    JSON panorama_type "FISHEYE_STEREOGRAPHIC").
+    """
+
+    focal_length: float
+    fov: float
+    sensor_width: float
+    sensor_height: float
+
+    type = LensType.FISHEYE_STEREOGRAPHIC
+
+
+@dataclasses.dataclass(frozen=True)
 class Equirectangular:
     """Equirectangular panorama segment (reference src/config.hpp:28-33).
 
@@ -115,7 +134,13 @@ class Equirectangular:
         return abs(self.longitude_span - 2.0 * math.pi) < tol
 
 
-LensSpec = Union[Rectilinear, FisheyeEquidistant, FisheyeEquisolid, Equirectangular]
+LensSpec = Union[
+    Rectilinear,
+    FisheyeEquidistant,
+    FisheyeEquisolid,
+    FisheyeStereographic,
+    Equirectangular,
+]
 
 
 def full_equirectangular() -> Equirectangular:

@@ -30,6 +30,7 @@ from .lens import (
     Equirectangular,
     FisheyeEquidistant,
     FisheyeEquisolid,
+    FisheyeStereographic,
     LensSpec,
     Rectilinear,
 )
@@ -163,6 +164,45 @@ def vec_to_equisolid(
     return xn * scale, yn * scale
 
 
+# === FISHEYE STEREOGRAPHIC (gap-fill; r_mm = 2 f tan(theta/2)) ===
+#
+# Enum-only in the reference (src/config.hpp:11, no math anywhere); the
+# standard stereographic model, styled like the other fisheye pairs
+# (forward z=+cos(theta), inverse perspective-divide + atan).
+
+
+def stereographic_to_vec(
+    lens: FisheyeStereographic, img_w: float, img_h: float, cx: Array, cy: Array, xp=jnp
+) -> Tuple[Array, Array, Array]:
+    """Pixel -> ray: theta = 2 atan(r_mm / (2 f))."""
+    r_px = xp.sqrt(cx * cx + cy * cy)
+    r_mm = r_px * _f32(xp, lens.sensor_width / img_w)
+    theta = _f32(xp, 2.0) * xp.arctan(r_mm * _f32(xp, 1.0 / (2.0 * lens.focal_length)))
+    safe_r = xp.where(r_px > 0, r_px, _f32(xp, 1.0))
+    center_slope = _f32(xp, lens.sensor_width / (lens.focal_length * img_w))
+    s = xp.where(r_px > 0, xp.sin(theta) / safe_r, center_slope)
+    x = s * cx
+    y = s * cy
+    z = xp.cos(theta)
+    return x, y, z
+
+
+def vec_to_stereographic(
+    lens: FisheyeStereographic, img_w: float, img_h: float, x: Array, y: Array, z: Array, xp=jnp
+) -> Tuple[Array, Array]:
+    """Ray -> pixel: theta = atan(r) after perspective divide, r_mm = 2 f tan(theta/2)."""
+    xn = x / -z
+    yn = y / -z
+    r = xp.sqrt(xn * xn + yn * yn)
+    theta = xp.arctan(r)
+    r_mm = _f32(xp, 2.0 * lens.focal_length) * xp.tan(_f32(xp, 0.5) * theta)
+    r_px = r_mm * _f32(xp, img_w / lens.sensor_width)
+    safe_r = xp.where(r > 0, r, _f32(xp, 1.0))
+    center_slope = _f32(xp, lens.focal_length * img_w / lens.sensor_width)
+    scale = xp.where(r > 0, r_px / safe_r, center_slope)
+    return xn * scale, yn * scale
+
+
 # === EQUIRECTANGULAR (reference src/reproject.cpp:245-271) ===
 
 
@@ -214,6 +254,7 @@ _TO_VEC = {
     Rectilinear: rectilinear_to_vec,
     FisheyeEquidistant: equidistant_to_vec,
     FisheyeEquisolid: equisolid_to_vec,
+    FisheyeStereographic: stereographic_to_vec,
     Equirectangular: equirectangular_to_vec,
 }
 
@@ -221,6 +262,7 @@ _TO_SOURCE = {
     Rectilinear: vec_to_rectilinear,
     FisheyeEquidistant: vec_to_equidistant,
     FisheyeEquisolid: vec_to_equisolid,
+    FisheyeStereographic: vec_to_stereographic,
     Equirectangular: vec_to_equirectangular,
 }
 

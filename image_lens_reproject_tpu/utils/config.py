@@ -26,6 +26,7 @@ from ..models.lens import (
     Equirectangular,
     FisheyeEquidistant,
     FisheyeEquisolid,
+    FisheyeStereographic,
     LensSpec,
     Rectilinear,
 )
@@ -56,6 +57,16 @@ def extract_lens_info_from_config(cfg: Dict[str, Any]) -> LensSpec:
             )
         if pano_type == "FISHEYE_EQUISOLID":
             return FisheyeEquisolid(
+                focal_length=float(camera_cfg["fisheye_lens"]),
+                fov=float(camera_cfg["fisheye_fov"]),
+                sensor_width=sensor_width,
+                sensor_height=sensor_height,
+            )
+        if pano_type == "FISHEYE_STEREOGRAPHIC":
+            # Framework extension: the reference's enum names this type but
+            # has no JSON mapping (src/config.hpp:11); we use the natural
+            # Blender-style keys.
+            return FisheyeStereographic(
                 focal_length=float(camera_cfg["fisheye_lens"]),
                 fov=float(camera_cfg["fisheye_fov"]),
                 sensor_width=sensor_width,
@@ -120,6 +131,11 @@ def store_lens_info_in_config(lens: LensSpec, out_cfg: Dict[str, Any]) -> None:
     elif isinstance(lens, FisheyeEquisolid):
         cam["type"] = "PANO"
         cam["panorama_type"] = "FISHEYE_EQUISOLID"
+        cam["fisheye_lens"] = lens.focal_length
+        cam["fisheye_fov"] = lens.fov
+    elif isinstance(lens, FisheyeStereographic):
+        cam["type"] = "PANO"
+        cam["panorama_type"] = "FISHEYE_STEREOGRAPHIC"
         cam["fisheye_lens"] = lens.focal_length
         cam["fisheye_fov"] = lens.fov
     elif isinstance(lens, FisheyeEquidistant):
