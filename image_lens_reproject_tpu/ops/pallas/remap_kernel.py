@@ -1,17 +1,446 @@
-"""Pallas TPU fused remap kernel (performance path) — placeholder gate.
+"""Fused Pallas TPU remap kernel — the framework's performance path.
 
-The kernel fuses coordinate generation, gather-interpolation from
-VMEM-resident source tiles and tonemap over output tiles. Until the
-kernel lands, ``supported`` returns False everywhere and the pure-XLA
-path (ops/remap.py) serves all requests.
+Why a custom kernel: XLA lowers the remap's per-tap gathers to a scalar
+dynamic-slice loop on TPU (measured ~3.4 Mpix/s for the 4K bicubic
+headline — slower than CPU). TPU hardware has no arbitrary per-lane
+gather; the one per-element dynamic primitive Mosaic exposes on this
+target is the *sublane* gather (``take_along_axis(op, idx, axis=0)`` with
+an (8, L) operand). This kernel is built around it:
+
+  * The output is tiled (8 x 128). An XLA prepass computes every tile's
+    source-texel window (exact tap extremes) and quantizes it onto a
+    pre-built grid of overlapping source blocks (the roll-trick stack:
+    each block covers 2x the quantization step, so any window whose span
+    fits one step lies inside exactly one block).
+  * Blocks are stored TRANSPOSED (source columns on sublanes, rows on
+    lanes): reading one source column is a width-1 dynamic sublane slice —
+    the only dynamic addressing mode that compiles on this toolchain.
+  * Per tile the kernel scans the window's source columns (a dynamic-trip
+    fori loop, typically 10-60 iterations). For each source column: a
+    small transpose puts the column's rows on sublanes, one sublane gather
+    per row-tap picks each output pixel's row, and masked FMAs apply the
+    exact interpolation weights (truncation/wrap/clamp semantics shared
+    with ops/sampling.py via ops/pallas/taps.py).
+  * Per-tile windows can overflow their quantized blocks (degenerate
+    mappings: rectilinear-input horizons, poles). The prepass reduces an
+    ``ok`` flag and a lax.cond falls back to the pure-XLA path for the
+    whole frame — outputs are always exact w.r.t. the reference formulas.
+
+Supersampling runs one kernel launch per stratified offset and averages
+outside, matching the reference's accumulation (src/reproject.cpp:294-341).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Any, Optional, Tuple
 
-def supported(src, in_lens, out_lens, interp, n_samples) -> bool:
-    return False
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.lens import LensSpec, wrap_mode_for_input
+from .. import remap as remap_ops
+from . import taps as taps_mod
+from .kernel_math import kxp
+
+Array = Any
+
+# --- tiling constants ---
+TR = 8      # output tile rows
+TC = 128    # output tile cols (one vreg of lanes)
+RB = 24     # source row-window quantization step; blocks span 2*RB rows
+CB = 256    # source col-window quantization step; blocks span 2*CB cols
+PAD = 4     # source padding (covers bicubic taps at clamped borders)
+MARGIN = 2  # window slack for prepass-vs-kernel transcendental ulp drift
+N_GROUPS = (2 * RB) // 8
+
+# Interpreter mode for CPU-backend tests (set by tests/conftest fixtures).
+_INTERPRET = False
 
 
-def remap_pallas(*args, **kwargs):  # pragma: no cover
-    raise NotImplementedError("Pallas remap kernel not yet available")
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def _interp_taps(interp: str) -> int:
+    return {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
+
+
+def supported(src, in_lens, out_lens, interp: str, n_samples: int) -> bool:
+    """Static eligibility (runtime window overflow falls back via lax.cond)."""
+    if interp not in ("nearest", "bilinear", "bicubic"):
+        return False
+    if src.ndim != 3 or src.shape[2] > 8:
+        return False
+    if src.shape[0] < 2 or src.shape[1] < 2:
+        return False
+    return True
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
+    """Pad (C, H, W) with clamp/wrap margins; round to block multiples.
+
+    Returns (padded (C, H_pad, W_pad), h_pad, w_pad). Index mapping:
+    padded row = clamped source row + PAD; padded col = (monotonized)
+    source col + PAD.
+    """
+    c, h, w = src_chw.shape
+    # rows: replicate top/bottom edges (y always clamps)
+    top = jnp.repeat(src_chw[:, :1, :], PAD, axis=1)
+    bot_extra = _ceil_to(h + 2 * PAD, RB) - (h + PAD)
+    h_pad = h + PAD + bot_extra
+    if h_pad < 2 * RB:
+        bot_extra += 2 * RB - h_pad
+        h_pad = 2 * RB
+    bot = jnp.repeat(src_chw[:, -1:, :], bot_extra, axis=1)
+    x = jnp.concatenate([top, src_chw, bot], axis=1)
+
+    if wrap:
+        left = x[:, :, -PAD:]  # wrapped continuation (left pad unused in wrap)
+        right_margin = CB + 2 * PAD + 2 * MARGIN
+        reps = -(-right_margin // w)
+        right = jnp.concatenate([x[:, :, :w]] * reps, axis=2)[:, :, :right_margin]
+    else:
+        left = jnp.repeat(x[:, :, :1], PAD, axis=2)
+        right = jnp.repeat(x[:, :, -1:], PAD, axis=2)
+    x = jnp.concatenate([left, x, right], axis=2)
+    w_now = x.shape[2]
+    w_pad = max(_ceil_to(w_now, CB), 2 * CB)
+    if w_pad > w_now:
+        x = jnp.concatenate(
+            [x, jnp.repeat(x[:, :, -1:], w_pad - w_now, axis=2)], axis=2
+        )
+    return x, h_pad, w_pad
+
+
+def _stack_blocks(padded: Array) -> Tuple[Array, int, int]:
+    """(C, H_pad, W_pad) -> transposed overlapping blocks.
+
+    Returns (blocks (n_rp*n_cp, C, 2CB, 2RB), n_rp, n_cp) where block
+    (rb, cb) holds padded[:, rb*RB:(rb+2)*RB, cb*CB:(cb+2)*CB] transposed
+    to (C, cols, rows). Built with the roll trick: two shifted reshapes
+    concatenated — pure copies, XLA-fused.
+    """
+    c, h_pad, w_pad = padded.shape
+    n_r = h_pad // RB
+    n_c = w_pad // CB
+    a = padded.reshape(c, n_r, RB, w_pad)
+    rows2 = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=2)  # (C, n_rp, 2RB, W)
+    n_rp = n_r - 1
+    b = rows2.reshape(c, n_rp, 2 * RB, n_c, CB)
+    cols2 = jnp.concatenate([b[:, :, :, :-1, :], b[:, :, :, 1:, :]], axis=4)
+    n_cp = n_c - 1
+    # (C, n_rp, 2RB, n_cp, 2CB) -> (n_rp, n_cp, C, 2CB, 2RB)
+    blocks = jnp.transpose(cols2, (1, 3, 0, 4, 2))
+    return blocks.reshape(n_rp * n_cp, c, 2 * CB, 2 * RB), n_rp, n_cp
+
+
+def _field_taps(
+    in_lens, out_lens, in_h, in_w, out_h, out_w,
+    rotation, off_x, off_y, interp, wrap, n_ty, n_tx,
+):
+    """Coordinate field + tap indices on the TR/TC-padded output grid.
+
+    Edge tiles beyond out_h/out_w replicate the last real pixel's
+    coordinates so their windows stay bounded by real content.
+    """
+    rows = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (n_ty * TR, n_tx * TC), 0), out_h - 1
+    )
+    cols = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (n_ty * TR, n_tx * TC), 1), out_w - 1
+    )
+    cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+        out_w * 0.5
+    ) + jnp.float32(off_x)
+    cy = (rows.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+        out_h * 0.5
+    ) + jnp.float32(off_y)
+    sx, sy = remap_ops.source_coords(
+        in_lens, out_lens, in_h, in_w, cx, cy, rotation, out_h, out_w, xp=jnp
+    )
+    xt = taps_mod.x_taps(sx, in_w, interp, wrap, xp=jnp)
+    yt = taps_mod.y_taps(sy, in_h, interp, xp=jnp)
+    return xt, yt
+
+
+def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str) -> Array:
+    r = field.reshape(n_ty, TR, n_tx, TC)
+    return (jnp.min if op == "min" else jnp.max)(r, axis=(1, 3))
+
+
+def _prepass(
+    in_lens, out_lens, in_h, in_w, out_h, out_w,
+    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+):
+    """Per-tile window scalars + global ok flag (device-side, XLA)."""
+    xt, yt = _field_taps(
+        in_lens, out_lens, in_h, in_w, out_h, out_w,
+        rotation, off_x, off_y, interp, wrap, n_ty, n_tx,
+    )
+    # column extremes (unpadded, wrapped space) for seam detection
+    xs = jnp.stack(xt.idx)  # (n_taps, Hp, Wp)
+    cmin_u = _tile_reduce(jnp.min(xs, axis=0), n_ty, n_tx, "min")
+    cmax_u = _tile_reduce(jnp.max(xs, axis=0), n_ty, n_tx, "max")
+    seam = jnp.logical_and(wrap, (cmax_u - cmin_u) > (in_w // 2))
+
+    seam_px = jnp.repeat(jnp.repeat(seam, TR, axis=0), TC, axis=1)
+    xs_m = jnp.stack(
+        [taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) for i in xt.idx]
+    ) + PAD
+    ys = jnp.stack(yt.idx) + PAD
+
+    cmin = _tile_reduce(jnp.min(xs_m, axis=0), n_ty, n_tx, "min")
+    cmax = _tile_reduce(jnp.max(xs_m, axis=0), n_ty, n_tx, "max")
+    rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min")
+    rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max")
+
+    rblk = jnp.clip((rmin - MARGIN) // RB, 0, max(n_rp - 1, 0))
+    r_base = rblk * RB
+    ok_r = jnp.logical_and(
+        rmax + MARGIN + 1 - r_base <= 2 * RB, rmin - MARGIN - r_base >= 0
+    )
+    cblk = jnp.clip((cmin - MARGIN) // CB, 0, max(n_cp - 1, 0))
+    c_base = cblk * CB
+    c_start = cmin - MARGIN
+    n_scan = cmax - cmin + 2 * MARGIN + 1
+    ok_c = jnp.logical_and(
+        cmax + MARGIN + 1 - c_base <= 2 * CB, c_start - c_base >= 0
+    )
+
+    blk = (rblk * n_cp + cblk).astype(jnp.int32)
+    ok_all = jnp.logical_and(ok_r, ok_c)
+    if wrap:
+        # Monotonized columns must stay inside the physical wrap margin.
+        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + MARGIN)
+    ok = jnp.all(ok_all)
+    return (
+        blk,
+        r_base.astype(jnp.int32),
+        c_start.astype(jnp.int32),
+        n_scan.astype(jnp.int32),
+        seam.astype(jnp.int32),
+        c_base.astype(jnp.int32),
+        ok,
+    )
+
+
+def _make_kernel(
+    in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
+    off_x, off_y, interp, wrap, has_rotation,
+):
+    n_taps = _interp_taps(interp)
+
+    def kernel(blk_s, rbase_s, cstart_s, nscan_s, seam_s, cbase_s,
+               rot_ref, blk_ref, out_ref):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        r_base = rbase_s[ty, tx]
+        c_start = cstart_s[ty, tx]
+        n_scan = nscan_s[ty, tx]
+        seam = seam_s[ty, tx] > 0
+        c_base = cbase_s[ty, tx]
+
+        rows = jnp.minimum(
+            ty * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0), out_h - 1
+        )
+        cols = jnp.minimum(
+            tx * TC + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1), out_w - 1
+        )
+        cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+            out_w * 0.5
+        ) + jnp.float32(off_x)
+        cy = (rows.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+            out_h * 0.5
+        ) + jnp.float32(off_y)
+
+        rot = None
+        if has_rotation:
+            rot = jnp.stack(
+                [
+                    jnp.stack([rot_ref[0, 3 * i + j] for j in range(3)])
+                    for i in range(3)
+                ]
+            )
+        sx, sy = remap_ops.source_coords(
+            in_lens, out_lens, in_h, in_w, cx, cy, rot, out_h, out_w, xp=kxp
+        )
+        xt = taps_mod.x_taps(sx, in_w, interp, wrap, xp=jnp)
+        yt = taps_mod.y_taps(sy, in_h, interp, xp=jnp)
+
+        seam_px = jnp.broadcast_to(seam, (TR, TC))
+        x_pad = [
+            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD for i in xt.idx
+        ]
+        y_rel = [jnp.clip(i + PAD - r_base, 0, 2 * RB - 1) for i in yt.idx]
+
+        accs = [jnp.zeros((TR, TC), jnp.float32) for _ in range(c_ch)]
+
+        def body(k, accs):
+            c_abs = c_start + k
+            sub = jnp.clip(c_abs - c_base, 0, 2 * CB - 1)
+            colw = jnp.zeros((TR, TC), jnp.float32)
+            for m in range(n_taps):
+                colw = colw + jnp.where(x_pad[m] == c_abs, xt.weights[m], 0.0)
+            out = []
+            for c in range(c_ch):
+                colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
+                colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
+                rowv = jnp.zeros((TR, TC), jnp.float32)
+                for g in range(N_GROUPS):
+                    opg = jnp.broadcast_to(colt[g * 8:(g + 1) * 8], (TR, TC))
+                    for m in range(n_taps):
+                        loc = jnp.clip(y_rel[m] - g * 8, 0, 7)
+                        ing = jnp.logical_and(
+                            y_rel[m] >= g * 8, y_rel[m] < (g + 1) * 8
+                        )
+                        gl = jnp.take_along_axis(opg, loc, axis=0)
+                        rowv = rowv + jnp.where(ing, gl * yt.weights[m], 0.0)
+                out.append(accs[c] + rowv * colw)
+            return out
+
+        accs = jax.lax.fori_loop(0, n_scan, body, accs)
+        for c in range(c_ch):
+            out_ref[c] = accs[c]
+
+    return kernel
+
+
+def _remap_pallas_one(
+    src: Array,
+    rotation: Optional[Array],
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str,
+    off_x: float,
+    off_y: float,
+) -> Tuple[Array, Array]:
+    """One subsample launch. Returns (out (out_h, out_w, C), ok flag)."""
+    in_h, in_w = int(src.shape[0]), int(src.shape[1])
+    c_ch = int(src.shape[2])
+    wrap = wrap_mode_for_input(in_lens)
+
+    n_ty = -(-out_h // TR)
+    n_tx = -(-out_w // TC)
+
+    src_chw = jnp.transpose(src, (2, 0, 1))
+    padded, h_pad, w_pad = _pad_source(src_chw, wrap)
+    n_rp = h_pad // RB - 1
+    n_cp = w_pad // CB - 1
+
+    blk, r_base, c_start, n_scan, seam, c_base, ok = _prepass(
+        in_lens, out_lens, in_h, in_w, out_h, out_w,
+        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+    )
+
+    has_rotation = rotation is not None
+    rot_arr = jnp.zeros((1, 16), jnp.float32)
+    if has_rotation:
+        rot_arr = rot_arr.at[0, :9].set(rotation.reshape(9).astype(jnp.float32))
+
+    kernel = _make_kernel(
+        in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
+        off_x, off_y, interp, wrap, has_rotation,
+    )
+
+    def pallas_branch(operands):
+        padded_, rot_ = operands
+        blocks, _, _ = _stack_blocks(padded_)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(n_ty, n_tx),
+            in_specs=[
+                pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, c_ch, 2 * CB, 2 * RB),
+                    lambda ty, tx, blk_s, *_: (blk_s[ty, tx], 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (c_ch, TR, TC), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
+            ),
+        )
+        out_planar = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((c_ch, n_ty * TR, n_tx * TC), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=_INTERPRET,
+        )(blk, r_base, c_start, n_scan, seam, c_base, rot_, blocks)
+        return jnp.transpose(out_planar[:, :out_h, :out_w], (1, 2, 0))
+
+    def xla_branch(operands):
+        padded_, rot_ = operands
+        # Recover the original source from the padded copy (cheap slice).
+        src_back = jnp.transpose(
+            padded_[:, PAD:PAD + in_h, PAD:PAD + in_w], (1, 2, 0)
+        )
+        return _xla_subsample(
+            src_back, rotation if has_rotation else None,
+            in_lens, out_lens, out_h, out_w, interp, off_x, off_y,
+        )
+
+    return jax.lax.cond(ok, pallas_branch, xla_branch, (padded, rot_arr)), ok
+
+
+def _xla_subsample(src, rotation, in_lens, out_lens, out_h, out_w, interp, off_x, off_y):
+    """Pure-XLA single-subsample remap at the given sub-pixel offset."""
+    from .. import sampling
+
+    in_h, in_w = int(src.shape[0]), int(src.shape[1])
+    wrap = wrap_mode_for_input(in_lens)
+    cx = (jnp.arange(out_w, dtype=jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+        out_w * 0.5
+    ) + jnp.float32(off_x)
+    cy = (jnp.arange(out_h, dtype=jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+        out_h * 0.5
+    ) + jnp.float32(off_y)
+    sx, sy = remap_ops.source_coords(
+        in_lens, out_lens, in_h, in_w, cx[None, :], cy[:, None],
+        rotation, out_h, out_w, xp=jnp,
+    )
+    return sampling.sample(src, sx, sy, interp, wrap, xp=jnp)
+
+
+def remap_pallas(
+    src: Array,
+    rotation: Optional[Array],
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    exposure: float = 1.0,
+    reinhard: float = 1.0,
+) -> Array:
+    """Full fused remap via the Pallas kernel (XLA fallback under the hood)."""
+    from .. import color as color_ops
+
+    offsets = remap_ops.supersample_offsets(n_samples)
+    acc = None
+    for off_x in offsets:
+        for off_y in offsets:
+            out, _ok = _remap_pallas_one(
+                src, rotation,
+                in_lens=in_lens, out_lens=out_lens,
+                out_h=out_h, out_w=out_w, interp=interp,
+                off_x=float(off_x), off_y=float(off_y),
+            )
+            acc = out if acc is None else acc + out
+    result = acc * jnp.float32(1.0 / (n_samples * n_samples))
+    if exposure != 1.0 or reinhard != 1.0:
+        result = color_ops.post_process(result, exposure, reinhard, xp=jnp)
+    return result

@@ -52,7 +52,10 @@ def remap_tonemap(
     if not dispatch.pure_xla_forced():
         from .pallas import remap_kernel
 
-        use_pallas = remap_kernel.supported(src, in_lens, out_lens, interp, n_samples)
+        on_tpu = jax.default_backend() == "tpu" or remap_kernel._INTERPRET
+        use_pallas = on_tpu and remap_kernel.supported(
+            src, in_lens, out_lens, interp, n_samples
+        )
 
     if use_pallas:
         from .pallas import remap_kernel
