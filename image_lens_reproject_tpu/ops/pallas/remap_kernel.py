@@ -57,6 +57,10 @@ PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 2  # window slack for prepass-vs-kernel transcendental ulp drift
 N_GROUPS = (2 * RB) // 8
 
+# Row groups the kernel actually gathers from after the per-tile roll
+# (covers row spans up to N_ACTIVE_GROUPS*8 - 2*MARGIN - 1 source rows).
+N_ACTIVE_GROUPS = 3
+
 # Interpreter mode for CPU-backend tests (set by tests/conftest fixtures).
 _INTERPRET = False
 
@@ -208,6 +212,13 @@ def _prepass(
     ok_r = jnp.logical_and(
         rmax + MARGIN + 1 - r_base <= 2 * RB, rmin - MARGIN - r_base >= 0
     )
+    # The kernel rolls each source column so the tile's first needed row
+    # lands on sublane 0 and covers N_ACTIVE_GROUPS*8 rows with static
+    # group slices — tiles with taller row spans fall back to XLA.
+    row_shift = jnp.clip(rmin - MARGIN - r_base, 0, 2 * RB - 1)
+    ok_r = jnp.logical_and(
+        ok_r, (rmax - rmin + 2 * MARGIN + 1) <= N_ACTIVE_GROUPS * 8
+    )
     cblk = jnp.clip((cmin - MARGIN) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
     c_start = cmin - MARGIN
@@ -222,15 +233,24 @@ def _prepass(
         # Monotonized columns must stay inside the physical wrap margin.
         ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + MARGIN)
     ok = jnp.all(ok_all)
-    return (
-        blk,
-        r_base.astype(jnp.int32),
-        c_start.astype(jnp.int32),
-        n_scan.astype(jnp.int32),
-        seam.astype(jnp.int32),
-        c_base.astype(jnp.int32),
-        ok,
-    )
+    # Pack the 8 per-tile scalars into ONE prefetch array with a wide minor
+    # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
+    # (n_ty, n_tx) arrays would cost 8x the SMEM (exhausts the 1MB SMEM at
+    # 4K grid sizes). Layout: (n_ty, n_tx * 8), field i at [ty, tx*8 + i].
+    scalars = jnp.stack(
+        [
+            blk,
+            r_base.astype(jnp.int32),
+            c_start.astype(jnp.int32),
+            n_scan.astype(jnp.int32),
+            seam.astype(jnp.int32),
+            c_base.astype(jnp.int32),
+            row_shift.astype(jnp.int32),
+            jnp.zeros_like(blk),
+        ],
+        axis=-1,
+    ).reshape(blk.shape[0], blk.shape[1] * 8)
+    return scalars, ok
 
 
 def _make_kernel(
@@ -239,15 +259,15 @@ def _make_kernel(
 ):
     n_taps = _interp_taps(interp)
 
-    def kernel(blk_s, rbase_s, cstart_s, nscan_s, seam_s, cbase_s,
-               rot_ref, blk_ref, out_ref):
+    def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        r_base = rbase_s[ty, tx]
-        c_start = cstart_s[ty, tx]
-        n_scan = nscan_s[ty, tx]
-        seam = seam_s[ty, tx] > 0
-        c_base = cbase_s[ty, tx]
+        r_base = scalars_s[ty, tx * 8 + 1]
+        c_start = scalars_s[ty, tx * 8 + 2]
+        n_scan = scalars_s[ty, tx * 8 + 3]
+        seam = scalars_s[ty, tx * 8 + 4] > 0
+        c_base = scalars_s[ty, tx * 8 + 5]
+        row_shift = scalars_s[ty, tx * 8 + 6]
 
         rows = jnp.minimum(
             ty * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0), out_h - 1
@@ -277,33 +297,55 @@ def _make_kernel(
         yt = taps_mod.y_taps(sy, in_h, interp, xp=jnp)
 
         seam_px = jnp.broadcast_to(seam, (TR, TC))
-        x_pad = [
-            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD for i in xt.idx
+        # Hoisted loop invariants: per-tap column keys relative to the scan
+        # start (compared against the loop counter k) and window-relative
+        # row-tap positions. Per-(tap, group) masks stay in-loop under the
+        # group-range cond to keep live VMEM bounded at 4K scale.
+        x_key = [
+            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD - c_start
+            for i in xt.idx
         ]
-        y_rel = [jnp.clip(i + PAD - r_base, 0, 2 * RB - 1) for i in yt.idx]
+        # Row-tap positions relative to the rolled window start; hoisted
+        # per-(tap, group) gather indices and masked row weights
+        # (N_ACTIVE_GROUPS * n_taps small arrays, loop-invariant).
+        y_rel = [
+            jnp.clip(i + PAD - r_base - row_shift, 0, N_ACTIVE_GROUPS * 8 - 1)
+            for i in yt.idx
+        ]
+        loc = [
+            [jnp.clip(y_rel[m] - g * 8, 0, 7) for g in range(N_ACTIVE_GROUPS)]
+            for m in range(n_taps)
+        ]
+        wrow = [
+            [
+                jnp.where(
+                    jnp.logical_and(y_rel[m] >= g * 8, y_rel[m] < (g + 1) * 8),
+                    yt.weights[m],
+                    0.0,
+                )
+                for g in range(N_ACTIVE_GROUPS)
+            ]
+            for m in range(n_taps)
+        ]
 
         accs = [jnp.zeros((TR, TC), jnp.float32) for _ in range(c_ch)]
 
         def body(k, accs):
-            c_abs = c_start + k
-            sub = jnp.clip(c_abs - c_base, 0, 2 * CB - 1)
+            sub = jnp.clip(c_start + k - c_base, 0, 2 * CB - 1)
             colw = jnp.zeros((TR, TC), jnp.float32)
             for m in range(n_taps):
-                colw = colw + jnp.where(x_pad[m] == c_abs, xt.weights[m], 0.0)
+                colw = colw + jnp.where(x_key[m] == k, xt.weights[m], 0.0)
             out = []
             for c in range(c_ch):
                 colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
                 colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
+                rolled = pltpu.roll(colt, -row_shift, 0)
                 rowv = jnp.zeros((TR, TC), jnp.float32)
-                for g in range(N_GROUPS):
-                    opg = jnp.broadcast_to(colt[g * 8:(g + 1) * 8], (TR, TC))
+                for g in range(N_ACTIVE_GROUPS):
+                    opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (TR, TC))
                     for m in range(n_taps):
-                        loc = jnp.clip(y_rel[m] - g * 8, 0, 7)
-                        ing = jnp.logical_and(
-                            y_rel[m] >= g * 8, y_rel[m] < (g + 1) * 8
-                        )
-                        gl = jnp.take_along_axis(opg, loc, axis=0)
-                        rowv = rowv + jnp.where(ing, gl * yt.weights[m], 0.0)
+                        gl = jnp.take_along_axis(opg, loc[m][g], axis=0)
+                        rowv = rowv + gl * wrow[m][g]
                 out.append(accs[c] + rowv * colw)
             return out
 
@@ -339,7 +381,7 @@ def _remap_pallas_one(
     n_rp = h_pad // RB - 1
     n_cp = w_pad // CB - 1
 
-    blk, r_base, c_start, n_scan, seam, c_base, ok = _prepass(
+    scalars, ok = _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
     )
@@ -358,13 +400,13 @@ def _remap_pallas_one(
         padded_, rot_ = operands
         blocks, _, _ = _stack_blocks(padded_)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (1, c_ch, 2 * CB, 2 * RB),
-                    lambda ty, tx, blk_s, *_: (blk_s[ty, tx], 0, 0, 0),
+                    lambda ty, tx, scalars_s: (scalars_s[ty, tx * 8], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -377,7 +419,7 @@ def _remap_pallas_one(
             out_shape=jax.ShapeDtypeStruct((c_ch, n_ty * TR, n_tx * TC), jnp.float32),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
-        )(blk, r_base, c_start, n_scan, seam, c_base, rot_, blocks)
+        )(scalars, rot_, blocks)
         return jnp.transpose(out_planar[:, :out_h, :out_w], (1, 2, 0))
 
     def xla_branch(operands):
