@@ -54,7 +54,7 @@ TC = 128    # output tile cols (one vreg of lanes)
 RB = 24     # source row-window quantization step; blocks span 2*RB rows
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
-MARGIN = 2  # window slack for prepass-vs-kernel transcendental ulp drift
+MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 N_GROUPS = (2 * RB) // 8
 
 # Row groups the kernel actually gathers from after the per-tile roll
