@@ -81,6 +81,12 @@ def main() -> int:
     src = jnp.asarray(rng.uniform(0, 2, size=(SRC_H, SRC_W, 3)).astype(np.float32))
     rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, 0.0))
 
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel
+
+    tile_rows = remap_kernel.suggest_tile_rows(
+        in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
+    )
+
     @jax.jit
     def chain(src_, seed):
         # Perturb the input with a value derived from the previous output:
@@ -96,6 +102,7 @@ def main() -> int:
             n_samples=1,
             exposure=2.0,
             reinhard=4.0,
+            tile_rows=tile_rows,
         )
 
     # Compile + first-fetch handshake (may take minutes on tunneled chips).
@@ -143,6 +150,7 @@ def main() -> int:
         "out_resolution": [OUT_W, OUT_H],
         "interp": INTERP,
         "iters_per_rep": ITERS_PER_REP,
+        "tile_rows": tile_rows,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),

@@ -1,0 +1,85 @@
+"""On-chip pixel verification of the Pallas remap kernel vs the numpy oracle.
+
+Interpreter-mode tests miss real-hardware miscompiles (e.g. the dynamic
+negative-shift pltpu.roll bug); this harness runs a battery of configs on
+the actual TPU and compares full outputs against the float32 oracle.
+Run after any kernel change: python bench/verify_onchip.py
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def smooth(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(
+        np.linspace(0, 1, h, dtype=np.float32),
+        np.linspace(0, 1, w, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack(
+        [0.5 + 0.45 * np.sin(4 * a * xx + 3 * b * yy + p)
+         for a, b, p in rng.uniform(0.5, 2, (c, 3))],
+        -1,
+    ).astype(np.float32)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from image_lens_reproject_tpu.models.lens import (
+        FisheyeEquidistant, FisheyeEquisolid, Rectilinear, full_equirectangular,
+    )
+    from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel as RK
+    from image_lens_reproject_tpu.utils import oracle
+
+    RECT = Rectilinear(35.0, 36.0, 36.0)
+    EQUIDIST = FisheyeEquidistant(math.pi, 36.0, 36.0)
+    EQUISOLID = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    EQUIRECT = full_equirectangular()
+    rot = rotation_matrix_degrees(15.0, 5.0, 0.0)
+    rot180 = rotation_matrix_degrees(180.0, 0.0, 0.0)
+
+    cases = [
+        ("equirect->rect bicubic rot 512", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 8),
+        ("equirect->rect bicubic rot 512 T16", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 16),
+        ("equirect->rect seam180 bl", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8),
+        ("equidist->rect nn", EQUIDIST, RECT, "nearest", None, (256, 256), (256, 256), 8),
+        ("equisolid->equirect bl T16", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16),
+        ("rect->equisolid bc", RECT, EQUISOLID, "bicubic", None, (256, 256), (256, 256), 8),
+    ]
+
+    failures = 0
+    for name, il, ol, interp, r, (ih, iw), (oh, ow), trows in cases:
+        src = smooth(ih, iw, 3, seed=hash(name) % 1000)
+        rj = None if r is None else jnp.asarray(r)
+        out = RK.remap_pallas(
+            jnp.asarray(src), rj, in_lens=il, out_lens=ol,
+            out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=trows,
+        )
+        got = np.asarray(out)
+        want = oracle.oracle_remap(
+            src, r, in_lens=il, out_lens=ol,
+            out_h=oh, out_w=ow, interp=interp, n_samples=1,
+        )
+        err = np.abs(got - want)
+        p999 = float(np.quantile(err, 0.999))
+        frac_bad = float((err.max(axis=-1) > 1e-3).mean())
+        ok = p999 < 1e-3 and frac_bad < 1e-3
+        print(f"{name:40s} p999={p999:.2e} frac>1e-3={frac_bad:.2e} "
+              f"max={err.max():.2e} {'OK' if ok else 'FAIL'}", flush=True)
+        failures += 0 if ok else 1
+    print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,7 +49,9 @@ from .kernel_math import kxp
 Array = Any
 
 # --- tiling constants ---
-TR = 8      # output tile rows
+TR = 8      # default output tile rows (see tile_rows parameter; 16 shares
+            # each scan column's read/transpose/roll across two 8-row
+            # sub-tiles — the dominant per-column cost — when row spans fit)
 TC = 128    # output tile cols (one vreg of lanes)
 RB = 24     # source row-window quantization step; blocks span 2*RB rows
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
@@ -87,6 +89,55 @@ def supported(src, in_lens, out_lens, interp: str, n_samples: int) -> bool:
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def suggest_tile_rows(
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    in_h: int,
+    in_w: int,
+    out_h: int,
+    out_w: int,
+    rotation_np,
+    interp: str,
+) -> int:
+    """Host-side heuristic: 16-row tiles when vertical source spans fit.
+
+    Evaluates the coordinate field on a decimated numpy grid and measures
+    the worst per-16-row-band source row span. Conservative: the device
+    prepass still guards exactness (overflow tiles fall back to XLA), so a
+    wrong suggestion costs performance, never correctness.
+    """
+    try:
+        step = max(1, out_w // 256)
+        cols = np.arange(0, out_w, step, dtype=np.float32)
+        rows = np.arange(0, out_h, 2, dtype=np.float32)
+        cx = (cols + np.float32(0.5)) - np.float32(out_w * 0.5)
+        cy = (rows + np.float32(0.5)) - np.float32(out_h * 0.5)
+        rot = None if rotation_np is None else np.asarray(rotation_np, np.float32)
+        _, sy = remap_ops.source_coords(
+            in_lens, out_lens, in_h, in_w, cx[None, :], cy[:, None],
+            rot, out_h, out_w, xp=np,
+        )
+        sy = np.clip(np.broadcast_to(sy, (rows.size, cols.size)), -4.0, in_h + 4.0)
+        band = 16 // 2  # rows sampled every 2 -> 8 samples per 16-row band
+        n_bands = rows.size // band
+        cchunk = max(1, -(-TC // step))  # samples per 128-col tile
+        n_cchunks = max(1, cols.size // cchunk)
+        max_span = 0.0
+        for b in range(n_bands):
+            chunk = sy[b * band:(b + 1) * band]
+            for cc in range(n_cchunks):
+                # +1 sample overlap: tiles straddle chunk boundaries
+                seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
+                max_span = max(max_span, float(seg.max() - seg.min()))
+        taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
+        # window rows = span + taps + 2*MARGIN + 1 must fit 3 groups (24)
+        if max_span + taps + 2 * MARGIN + 2 <= N_ACTIVE_GROUPS * 8:
+            return 16
+    except Exception:
+        pass
+    return 8
 
 
 def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
@@ -149,7 +200,7 @@ def _stack_blocks(padded: Array) -> Tuple[Array, int, int]:
 
 def _field_taps(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
-    rotation, off_x, off_y, interp, wrap, n_ty, n_tx,
+    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows,
 ):
     """Coordinate field + tap indices on the TR/TC-padded output grid.
 
@@ -157,10 +208,12 @@ def _field_taps(
     coordinates so their windows stay bounded by real content.
     """
     rows = jnp.minimum(
-        jax.lax.broadcasted_iota(jnp.int32, (n_ty * TR, n_tx * TC), 0), out_h - 1
+        jax.lax.broadcasted_iota(jnp.int32, (n_ty * tile_rows, n_tx * TC), 0),
+        out_h - 1,
     )
     cols = jnp.minimum(
-        jax.lax.broadcasted_iota(jnp.int32, (n_ty * TR, n_tx * TC), 1), out_w - 1
+        jax.lax.broadcasted_iota(jnp.int32, (n_ty * tile_rows, n_tx * TC), 1),
+        out_w - 1,
     )
     cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
         out_w * 0.5
@@ -176,36 +229,36 @@ def _field_taps(
     return xt, yt
 
 
-def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str) -> Array:
-    r = field.reshape(n_ty, TR, n_tx, TC)
+def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) -> Array:
+    r = field.reshape(n_ty, tile_rows, n_tx, TC)
     return (jnp.min if op == "min" else jnp.max)(r, axis=(1, 3))
 
 
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
-    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
 ):
     """Per-tile window scalars + global ok flag (device-side, XLA)."""
     xt, yt = _field_taps(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, off_x, off_y, interp, wrap, n_ty, n_tx,
+        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows,
     )
     # column extremes (unpadded, wrapped space) for seam detection
     xs = jnp.stack(xt.idx)  # (n_taps, Hp, Wp)
-    cmin_u = _tile_reduce(jnp.min(xs, axis=0), n_ty, n_tx, "min")
-    cmax_u = _tile_reduce(jnp.max(xs, axis=0), n_ty, n_tx, "max")
+    cmin_u = _tile_reduce(jnp.min(xs, axis=0), n_ty, n_tx, "min", tile_rows)
+    cmax_u = _tile_reduce(jnp.max(xs, axis=0), n_ty, n_tx, "max", tile_rows)
     seam = jnp.logical_and(wrap, (cmax_u - cmin_u) > (in_w // 2))
 
-    seam_px = jnp.repeat(jnp.repeat(seam, TR, axis=0), TC, axis=1)
+    seam_px = jnp.repeat(jnp.repeat(seam, tile_rows, axis=0), TC, axis=1)
     xs_m = jnp.stack(
         [taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) for i in xt.idx]
     ) + PAD
     ys = jnp.stack(yt.idx) + PAD
 
-    cmin = _tile_reduce(jnp.min(xs_m, axis=0), n_ty, n_tx, "min")
-    cmax = _tile_reduce(jnp.max(xs_m, axis=0), n_ty, n_tx, "max")
-    rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min")
-    rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max")
+    cmin = _tile_reduce(jnp.min(xs_m, axis=0), n_ty, n_tx, "min", tile_rows)
+    cmax = _tile_reduce(jnp.max(xs_m, axis=0), n_ty, n_tx, "max", tile_rows)
+    rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
+    rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
 
     rblk = jnp.clip((rmin - MARGIN) // RB, 0, max(n_rp - 1, 0))
     r_base = rblk * RB
@@ -255,9 +308,10 @@ def _prepass(
 
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-    off_x, off_y, interp, wrap, has_rotation,
+    off_x, off_y, interp, wrap, has_rotation, tile_rows,
 ):
     n_taps = _interp_taps(interp)
+    n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
 
     def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
@@ -270,10 +324,12 @@ def _make_kernel(
         row_shift = scalars_s[ty, tx * 8 + 6]
 
         rows = jnp.minimum(
-            ty * TR + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0), out_h - 1
+            ty * tile_rows + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
+            out_h - 1,
         )
         cols = jnp.minimum(
-            tx * TC + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1), out_w - 1
+            tx * TC + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
+            out_w - 1,
         )
         cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
             out_w * 0.5
@@ -296,7 +352,7 @@ def _make_kernel(
         xt = taps_mod.x_taps(sx, in_w, interp, wrap, xp=jnp)
         yt = taps_mod.y_taps(sy, in_h, interp, xp=jnp)
 
-        seam_px = jnp.broadcast_to(seam, (TR, TC))
+        seam_px = jnp.broadcast_to(seam, (tile_rows, TC))
         # Hoisted loop invariants: per-tap column keys relative to the scan
         # start (compared against the loop counter k) and window-relative
         # row-tap positions. Per-(tap, group) masks stay in-loop under the
@@ -312,46 +368,75 @@ def _make_kernel(
             jnp.clip(i + PAD - r_base - row_shift, 0, N_ACTIVE_GROUPS * 8 - 1)
             for i in yt.idx
         ]
+        # Per-(tap, group, sub-tile) gather indices and masked row weights;
+        # the sub-tile split keeps the taa operand/index pairs at the
+        # hardware's (8, TC) sublane-gather shape.
+        def half(a, h):
+            return a[h * 8:(h + 1) * 8]
+
         loc = [
-            [jnp.clip(y_rel[m] - g * 8, 0, 7) for g in range(N_ACTIVE_GROUPS)]
-            for m in range(n_taps)
-        ]
-        wrow = [
             [
-                jnp.where(
-                    jnp.logical_and(y_rel[m] >= g * 8, y_rel[m] < (g + 1) * 8),
-                    yt.weights[m],
-                    0.0,
-                )
+                [jnp.clip(half(y_rel[m], h) - g * 8, 0, 7) for h in range(n_sub)]
                 for g in range(N_ACTIVE_GROUPS)
             ]
             for m in range(n_taps)
         ]
+        wrow = [
+            [
+                [
+                    jnp.where(
+                        jnp.logical_and(
+                            half(y_rel[m], h) >= g * 8, half(y_rel[m], h) < (g + 1) * 8
+                        ),
+                        half(yt.weights[m], h),
+                        0.0,
+                    )
+                    for h in range(n_sub)
+                ]
+                for g in range(N_ACTIVE_GROUPS)
+            ]
+            for m in range(n_taps)
+        ]
+        x_key_h = [[half(x_key[m], h) for h in range(n_sub)] for m in range(n_taps)]
+        xw_h = [[half(xt.weights[m], h) for h in range(n_sub)] for m in range(n_taps)]
 
-        accs = [jnp.zeros((TR, TC), jnp.float32) for _ in range(c_ch)]
+        accs = [
+            [jnp.zeros((8, TC), jnp.float32) for _ in range(n_sub)]
+            for _ in range(c_ch)
+        ]
 
         def body(k, accs):
             sub = jnp.clip(c_start + k - c_base, 0, 2 * CB - 1)
-            colw = jnp.zeros((TR, TC), jnp.float32)
-            for m in range(n_taps):
-                colw = colw + jnp.where(x_key[m] == k, xt.weights[m], 0.0)
+            colw = [
+                sum(
+                    jnp.where(x_key_h[m][h] == k, xw_h[m][h], 0.0)
+                    for m in range(n_taps)
+                )
+                for h in range(n_sub)
+            ]
             out = []
             for c in range(c_ch):
                 colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
                 colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
-                rolled = pltpu.roll(colt, -row_shift, 0)
-                rowv = jnp.zeros((TR, TC), jnp.float32)
-                for g in range(N_ACTIVE_GROUPS):
-                    opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (TR, TC))
-                    for m in range(n_taps):
-                        gl = jnp.take_along_axis(opg, loc[m][g], axis=0)
-                        rowv = rowv + gl * wrow[m][g]
-                out.append(accs[c] + rowv * colw)
+                # NOTE: dynamic NEGATIVE shifts are miscompiled on real TPUs
+                # (correct in interpret mode); use the positive equivalent.
+                rolled = pltpu.roll(colt, 2 * RB - row_shift, 0)
+                acc_c = []
+                for h in range(n_sub):
+                    rowv = jnp.zeros((8, TC), jnp.float32)
+                    for g in range(N_ACTIVE_GROUPS):
+                        opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (8, TC))
+                        for m in range(n_taps):
+                            gl = jnp.take_along_axis(opg, loc[m][g][h], axis=0)
+                            rowv = rowv + gl * wrow[m][g][h]
+                    acc_c.append(accs[c][h] + rowv * colw[h])
+                out.append(acc_c)
             return out
 
         accs = jax.lax.fori_loop(0, n_scan, body, accs)
         for c in range(c_ch):
-            out_ref[c] = accs[c]
+            for h in range(n_sub):
+                out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
 
     return kernel
 
@@ -367,13 +452,14 @@ def _remap_pallas_one(
     interp: str,
     off_x: float,
     off_y: float,
+    tile_rows: int = TR,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (out_h, out_w, C), ok flag)."""
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
 
-    n_ty = -(-out_h // TR)
+    n_ty = -(-out_h // tile_rows)
     n_tx = -(-out_w // TC)
 
     src_chw = jnp.transpose(src, (2, 0, 1))
@@ -383,7 +469,7 @@ def _remap_pallas_one(
 
     scalars, ok = _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     )
 
     has_rotation = rotation is not None
@@ -393,7 +479,7 @@ def _remap_pallas_one(
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-        off_x, off_y, interp, wrap, has_rotation,
+        off_x, off_y, interp, wrap, has_rotation, tile_rows,
     )
 
     def pallas_branch(operands):
@@ -411,12 +497,16 @@ def _remap_pallas_one(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (c_ch, TR, TC), lambda ty, tx, *_: (0, ty, tx), memory_space=pltpu.VMEM
+                (c_ch, tile_rows, TC),
+                lambda ty, tx, *_: (0, ty, tx),
+                memory_space=pltpu.VMEM,
             ),
         )
         out_planar = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((c_ch, n_ty * TR, n_tx * TC), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (c_ch, n_ty * tile_rows, n_tx * TC), jnp.float32
+            ),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
         )(scalars, rot_, blocks)
@@ -467,8 +557,15 @@ def remap_pallas(
     n_samples: int = 1,
     exposure: float = 1.0,
     reinhard: float = 1.0,
+    tile_rows: int = TR,
 ) -> Array:
-    """Full fused remap via the Pallas kernel (XLA fallback under the hood)."""
+    """Full fused remap via the Pallas kernel (XLA fallback under the hood).
+
+    ``tile_rows`` (8 or 16): taller tiles amortize the per-scan-column
+    read/transpose/roll over more output rows but need the tile's source
+    row span to stay within the kernel's 3-group window — see
+    ``suggest_tile_rows`` for a safe choice.
+    """
     from .. import color as color_ops
 
     offsets = remap_ops.supersample_offsets(n_samples)
@@ -480,6 +577,7 @@ def remap_pallas(
                 in_lens=in_lens, out_lens=out_lens,
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
+                tile_rows=tile_rows,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))

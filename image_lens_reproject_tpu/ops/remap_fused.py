@@ -32,6 +32,7 @@ from . import remap as remap_ops
         "n_samples",
         "exposure",
         "reinhard",
+        "tile_rows",
     ),
 )
 def remap_tonemap(
@@ -46,6 +47,7 @@ def remap_tonemap(
     n_samples: int = 1,
     exposure: float = 1.0,
     reinhard: float = 1.0,
+    tile_rows: int = 8,
 ) -> jax.Array:
     """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
     use_pallas = False
@@ -71,6 +73,7 @@ def remap_tonemap(
             n_samples=n_samples,
             exposure=exposure,
             reinhard=reinhard,
+            tile_rows=tile_rows,
         )
         return out
 

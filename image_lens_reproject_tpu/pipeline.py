@@ -143,7 +143,42 @@ def process_batch(
         if opts.device is not None:
             batch = jax.device_put(batch, opts.device)
         rot = None if opts.rotation is None else jnp.asarray(opts.rotation)
-        if opts.do_reproject or (opts.scale != 1.0):
+        if not opts.do_reproject and opts.scale == 1.0:
+            out = batch  # --no-reproject fast path (src/main.cpp:592-596)
+            if opts.exposure != 1.0 or opts.reinhard != 1.0:
+                out = color.post_process_jit(
+                    out, exposure=opts.exposure, reinhard=opts.reinhard
+                )
+        elif jax.default_backend() == "tpu":
+            # TPU: per-image fused remap+tonemap (Pallas kernel path with
+            # XLA fallback); dispatches are async so the batch pipelines.
+            from .ops import remap_fused
+            from .ops.pallas import remap_kernel
+
+            tile_rows = remap_kernel.suggest_tile_rows(
+                opts.input_lens, opts.output_lens,
+                int(batch.shape[1]), int(batch.shape[2]),
+                opts.out_height, opts.out_width,
+                opts.rotation, opts.interp,
+            )
+            outs = [
+                remap_fused.remap_tonemap(
+                    batch[i],
+                    rot,
+                    in_lens=opts.input_lens,
+                    out_lens=opts.output_lens,
+                    out_h=opts.out_height,
+                    out_w=opts.out_width,
+                    interp=opts.interp,
+                    n_samples=opts.n_samples,
+                    exposure=opts.exposure,
+                    reinhard=opts.reinhard,
+                    tile_rows=tile_rows,
+                )
+                for i in range(batch.shape[0])
+            ]
+            out = jnp.stack(outs)
+        else:
             out = remap.remap_batch_jit(
                 batch,
                 rot,
@@ -154,12 +189,10 @@ def process_batch(
                 interp=opts.interp,
                 n_samples=opts.n_samples,
             )
-        else:
-            out = batch  # --no-reproject fast path (src/main.cpp:592-596)
-        if opts.exposure != 1.0 or opts.reinhard != 1.0:
-            out = color.post_process_jit(
-                out, exposure=opts.exposure, reinhard=opts.reinhard
-            )
+            if opts.exposure != 1.0 or opts.reinhard != 1.0:
+                out = color.post_process_jit(
+                    out, exposure=opts.exposure, reinhard=opts.reinhard
+                )
         host = np.asarray(out)
     return [host[i] for i in range(host.shape[0])]
 
