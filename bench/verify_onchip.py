@@ -51,6 +51,7 @@ def main() -> int:
     cases = [
         ("equirect->rect bicubic rot 512", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 8),
         ("equirect->rect bicubic rot 512 T16", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 16),
+        ("equirect->rect bicubic rot 512 T32", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 32),
         ("equirect->rect seam180 bl", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8),
         ("equidist->rect nn", EQUIDIST, RECT, "nearest", None, (256, 256), (256, 256), 8),
         ("equisolid->equirect bl T16", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16),

@@ -53,15 +53,21 @@ TR = 8      # default output tile rows (see tile_rows parameter; 16 shares
             # each scan column's read/transpose/roll across two 8-row
             # sub-tiles — the dominant per-column cost — when row spans fit)
 TC = 128    # output tile cols (one vreg of lanes)
-RB = 24     # source row-window quantization step; blocks span 2*RB rows
+RB = 40     # source row-window quantization step; blocks span 2*RB rows
+            # (block rows pad to 128 lanes anyway; 80 rows let 32-row tiles'
+            # windows always fit regardless of the quantization shift)
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 N_GROUPS = (2 * RB) // 8
 
-# Row groups the kernel actually gathers from after the per-tile roll
-# (covers row spans up to N_ACTIVE_GROUPS*8 - 2*MARGIN - 1 source rows).
-N_ACTIVE_GROUPS = 3
+# Row groups the kernel gathers from after the per-tile roll, by tile
+# height (covers row spans up to groups*8 - 2*MARGIN - taps source rows).
+_GROUPS_FOR_TILE_ROWS = {8: 3, 16: 3, 24: 4, 32: 5}
+
+
+def _active_groups(tile_rows: int) -> int:
+    return _GROUPS_FOR_TILE_ROWS[tile_rows]
 
 # Interpreter mode for CPU-backend tests (set by tests/conftest fixtures).
 _INTERPRET = False
@@ -132,9 +138,13 @@ def suggest_tile_rows(
                 seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
                 max_span = max(max_span, float(seg.max() - seg.min()))
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
-        # window rows = span + taps + 2*MARGIN + 1 must fit 3 groups (24)
-        if max_span + taps + 2 * MARGIN + 2 <= N_ACTIVE_GROUPS * 8:
-            return 16
+        # larger tiles amortize per-column reads; pick the tallest whose
+        # worst 16-row-band span, scaled to the tile height, fits its
+        # group window (with one band of slack for the coarse sampling)
+        for tr in (32, 24, 16):
+            scaled = max_span * tr / 16.0
+            if scaled + taps + 2 * MARGIN + 2 <= _active_groups(tr) * 8:
+                return tr
     except Exception:
         pass
     return 8
@@ -238,6 +248,7 @@ def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
 ):
+    n_groups = _active_groups(tile_rows)
     """Per-tile window scalars + global ok flag (device-side, XLA)."""
     xt, yt = _field_taps(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
@@ -270,7 +281,7 @@ def _prepass(
     # group slices — tiles with taller row spans fall back to XLA.
     row_shift = jnp.clip(rmin - MARGIN - r_base, 0, 2 * RB - 1)
     ok_r = jnp.logical_and(
-        ok_r, (rmax - rmin + 2 * MARGIN + 1) <= N_ACTIVE_GROUPS * 8
+        ok_r, (rmax - rmin + 2 * MARGIN + 1) <= n_groups * 8
     )
     cblk = jnp.clip((cmin - MARGIN) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
@@ -312,6 +323,7 @@ def _make_kernel(
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
+    n_groups = _active_groups(tile_rows)
 
     def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
@@ -365,7 +377,7 @@ def _make_kernel(
         # per-(tap, group) gather indices and masked row weights
         # (N_ACTIVE_GROUPS * n_taps small arrays, loop-invariant).
         y_rel = [
-            jnp.clip(i + PAD - r_base - row_shift, 0, N_ACTIVE_GROUPS * 8 - 1)
+            jnp.clip(i + PAD - r_base - row_shift, 0, n_groups * 8 - 1)
             for i in yt.idx
         ]
         # Per-(tap, group, sub-tile) gather indices and masked row weights;
@@ -377,7 +389,7 @@ def _make_kernel(
         loc = [
             [
                 [jnp.clip(half(y_rel[m], h) - g * 8, 0, 7) for h in range(n_sub)]
-                for g in range(N_ACTIVE_GROUPS)
+                for g in range(n_groups)
             ]
             for m in range(n_taps)
         ]
@@ -393,7 +405,7 @@ def _make_kernel(
                     )
                     for h in range(n_sub)
                 ]
-                for g in range(N_ACTIVE_GROUPS)
+                for g in range(n_groups)
             ]
             for m in range(n_taps)
         ]
@@ -424,7 +436,7 @@ def _make_kernel(
                 acc_c = []
                 for h in range(n_sub):
                     rowv = jnp.zeros((8, TC), jnp.float32)
-                    for g in range(N_ACTIVE_GROUPS):
+                    for g in range(n_groups):
                         opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (8, TC))
                         for m in range(n_taps):
                             gl = jnp.take_along_axis(opg, loc[m][g][h], axis=0)
