@@ -59,6 +59,7 @@ RB = 40     # source row-window quantization step; blocks span 2*RB rows
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
+SCAN_UNROLL = 4  # source columns processed per scan-loop iteration
 N_GROUPS = (2 * RB) // 8
 
 # Row groups the kernel gathers from after the per-tile roll, by tile
@@ -286,7 +287,11 @@ def _prepass(
     cblk = jnp.clip((cmin - MARGIN) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
     c_start = cmin - MARGIN
+    # Pad the scan length to the kernel's unroll factor: the extra columns
+    # sit beyond every tap (weights identically zero) and the in-kernel
+    # sublane clamp keeps their reads in bounds.
     n_scan = cmax - cmin + 2 * MARGIN + 1
+    n_scan = ((n_scan + SCAN_UNROLL - 1) // SCAN_UNROLL) * SCAN_UNROLL
     ok_c = jnp.logical_and(
         cmax + MARGIN + 1 - c_base <= 2 * CB, c_start - c_base >= 0
     )
@@ -417,35 +422,40 @@ def _make_kernel(
             for _ in range(c_ch)
         ]
 
-        def body(k, accs):
-            sub = jnp.clip(c_start + k - c_base, 0, 2 * CB - 1)
-            colw = [
-                sum(
-                    jnp.where(x_key_h[m][h] == k, xw_h[m][h], 0.0)
-                    for m in range(n_taps)
-                )
-                for h in range(n_sub)
-            ]
-            out = []
-            for c in range(c_ch):
-                colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
-                colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
-                # NOTE: dynamic NEGATIVE shifts are miscompiled on real TPUs
-                # (correct in interpret mode); use the positive equivalent.
-                rolled = pltpu.roll(colt, 2 * RB - row_shift, 0)
-                acc_c = []
-                for h in range(n_sub):
-                    rowv = jnp.zeros((8, TC), jnp.float32)
-                    for g in range(n_groups):
-                        opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (8, TC))
-                        for m in range(n_taps):
-                            gl = jnp.take_along_axis(opg, loc[m][g][h], axis=0)
-                            rowv = rowv + gl * wrow[m][g][h]
-                    acc_c.append(accs[c][h] + rowv * colw[h])
-                out.append(acc_c)
+        def body(i, accs):
+            out = accs
+            for u in range(SCAN_UNROLL):
+                k = i * SCAN_UNROLL + u
+                sub = jnp.clip(c_start + k - c_base, 0, 2 * CB - 1)
+                colw = [
+                    sum(
+                        jnp.where(x_key_h[m][h] == k, xw_h[m][h], 0.0)
+                        for m in range(n_taps)
+                    )
+                    for h in range(n_sub)
+                ]
+                nxt = []
+                for c in range(c_ch):
+                    colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
+                    colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
+                    # NOTE: dynamic NEGATIVE shifts are miscompiled on real
+                    # TPUs (correct in interpret mode); use the positive
+                    # equivalent.
+                    rolled = pltpu.roll(colt, 2 * RB - row_shift, 0)
+                    acc_c = []
+                    for h in range(n_sub):
+                        rowv = jnp.zeros((8, TC), jnp.float32)
+                        for g in range(n_groups):
+                            opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (8, TC))
+                            for m in range(n_taps):
+                                gl = jnp.take_along_axis(opg, loc[m][g][h], axis=0)
+                                rowv = rowv + gl * wrow[m][g][h]
+                        acc_c.append(out[c][h] + rowv * colw[h])
+                    nxt.append(acc_c)
+                out = nxt
             return out
 
-        accs = jax.lax.fori_loop(0, n_scan, body, accs)
+        accs = jax.lax.fori_loop(0, n_scan // SCAN_UNROLL, body, accs)
         for c in range(c_ch):
             for h in range(n_sub):
                 out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
