@@ -435,13 +435,18 @@ def _make_kernel(
                     for h in range(n_sub)
                 ]
                 nxt = []
+                # One transpose+roll for all channels: stack the per-channel
+                # column reads to (C, 2RB) first. NOTE: dynamic NEGATIVE
+                # roll shifts are miscompiled on real TPUs (correct in
+                # interpret mode); use the positive equivalent.
+                colvs = jnp.concatenate(
+                    [blk_ref[0, c, pl.ds(sub, 1), :] for c in range(c_ch)],
+                    axis=0,
+                )  # (C, 2RB)
+                coltT = jnp.transpose(colvs, (1, 0))          # (2RB, C)
+                rolledT = pltpu.roll(coltT, 2 * RB - row_shift, 0)
                 for c in range(c_ch):
-                    colv = blk_ref[0, c, pl.ds(sub, 1), :]        # (1, 2RB)
-                    colt = jnp.transpose(colv, (1, 0))            # (2RB, 1)
-                    # NOTE: dynamic NEGATIVE shifts are miscompiled on real
-                    # TPUs (correct in interpret mode); use the positive
-                    # equivalent.
-                    rolled = pltpu.roll(colt, 2 * RB - row_shift, 0)
+                    rolled = rolledT[:, c:c + 1]
                     acc_c = []
                     for h in range(n_sub):
                         rowv = jnp.zeros((8, TC), jnp.float32)
