@@ -1,0 +1,138 @@
+"""Benchmark the five BASELINE.json evaluation configs end to end.
+
+Prints one JSON line per config (device-path Mpix/s for configs 1-4; the
+directory config runs the full pipeline including EXR decode/encode).
+Usage: python bench/baseline_configs.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def fetch(arr):
+    return np.asarray(arr.reshape(-1)[:4])
+
+
+def time_device(fn, src, iters=20):
+    import jax.numpy as jnp
+
+    out = fn(src)
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(src)
+    fetch(out)
+    return time.perf_counter() - t0, out
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    iters = 5 if quick else 20
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_lens_reproject_tpu.models.lens import (
+        FisheyeEquidistant, FisheyeEquisolid, Rectilinear, full_equirectangular,
+    )
+    from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
+    from image_lens_reproject_tpu.ops import remap_fused
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel
+
+    rng = np.random.default_rng(0)
+
+    def bench_device(name, in_lens, out_lens, ih, iw, oh, ow, interp, rot_np,
+                     exposure=1.0, reinhard=1.0, channels=3):
+        src = jnp.asarray(rng.uniform(0, 2, (ih, iw, channels)).astype(np.float32))
+        rot = None if rot_np is None else jnp.asarray(rot_np)
+        tile_rows = remap_kernel.suggest_tile_rows(
+            in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
+        )
+
+        def fn(s):
+            return remap_fused.remap_tonemap(
+                s, rot, in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
+                interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
+                tile_rows=tile_rows,
+            )
+
+        f = jax.jit(fn)
+        dt, _ = time_device(f, src, iters)
+        mpixps = oh * ow * iters / dt / 1e6
+        print(json.dumps({
+            "config": name, "mpix_per_s": round(mpixps, 1),
+            "tile_rows": tile_rows, "interp": interp,
+        }), flush=True)
+
+    RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)
+    EQUIDIST180 = FisheyeEquidistant(math.pi, 36.0, 36.0)
+    EQUISOLID = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    EQUIRECT = full_equirectangular()
+
+    # 1: single 1080p equidistant(180) -> rectilinear 35/36, bilinear
+    bench_device("1: 1080p equidist->rect bl", EQUIDIST180, RECT3536,
+                 1080, 1080, 1080, 1920, "bilinear", None)
+
+    # 2: equisolid -> full equirect with rotation, bilinear
+    rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
+    bench_device("2: equisolid->equirect rot bl", EQUISOLID,
+                 EQUIRECT, 2048, 2048, 2048, 4096, "bilinear", rot)
+
+    # 3: equirect -> rect bicubic + exposure + reinhard (headline, bench.py)
+    bench_device("3: equirect->rect bc+tonemap", EQUIRECT,
+                 Rectilinear(35.0, 36.0, 36.0 * 2160 / 3840),
+                 1920, 3840, 2160, 3840, "bicubic",
+                 rotation_matrix_degrees(20.0, 5.0, 0.0), exposure=2.0, reinhard=4.0)
+
+    # 4: Blender JSON workflow: EXR color+depth rect -> equisolid (4ch RGBZ)
+    bench_device("4: rect->equisolid RGBZ", Rectilinear(50.0, 36.0, 36.0),
+                 EQUISOLID, 2048, 2048, 2048, 2048, "bilinear", None, channels=4)
+
+    # 5: directory of 4K EXR frames end-to-end (decode -> remap -> encode)
+    from image_lens_reproject_tpu.io import exr as exr_io
+    from image_lens_reproject_tpu.pipeline import PipelineOptions, discover_files, run_pipeline
+
+    n_frames = 2 if quick else 6
+    with tempfile.TemporaryDirectory() as td:
+        in_dir = Path(td) / "frames"
+        in_dir.mkdir()
+        frame = rng.uniform(0, 2, (1920, 3840, 4)).astype(np.float32)
+        for i in range(n_frames):
+            exr_io.write_exr(str(in_dir / f"f{i:03d}.exr"), frame)
+        opts = PipelineOptions(
+            input_lens=EQUIRECT,
+            output_lens=Rectilinear(35.0, 36.0, 36.0 * 2160 / 3840),
+            out_width=3840, out_height=2160,
+            interp="bicubic", store_exr=True, num_threads=8, batch_size=1,
+        )
+        paths = discover_files(str(in_dir))
+        # warmup compile on one frame
+        run_pipeline(paths[:1], str(Path(td) / "warm"), opts)
+        t0 = time.perf_counter()
+        stats = run_pipeline(paths, str(Path(td) / "out"), opts)
+        dt = time.perf_counter() - t0
+        mpixps = stats.pixels / dt / 1e6
+        print(json.dumps({
+            "config": "5: 4K EXR directory end-to-end",
+            "mpix_per_s": round(mpixps, 1), "frames": n_frames,
+            "seconds": round(dt, 2),
+            # On the axon tunnel, device->host runs at ~40 MB/s (vs GB/s
+            # PCIe on real hosts): this config measures the relay, not
+            # the pipeline, in this environment.
+            "d2h_tunnel_limited": True,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

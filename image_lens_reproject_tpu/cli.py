@@ -183,6 +183,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--batch-size", type=int, default=1, metavar="N", help="Images per device dispatch.")
     g.add_argument("--trace-dir", metavar="dir", help="Write a JAX profiler trace here.")
     g.add_argument("--pure-xla", action="store_true", help="Disable the Pallas fast path.")
+    g.add_argument("--json-log", action="store_true", help="Machine-readable JSON progress lines.")
     return p
 
 
@@ -352,6 +353,7 @@ def _run(args) -> int:
         scale=args.scale,
         num_threads=args.parallel,
         batch_size=args.batch_size,
+        json_log=args.json_log,
     )
 
     if args.input_dir:

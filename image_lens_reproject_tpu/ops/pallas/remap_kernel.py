@@ -107,6 +107,7 @@ def suggest_tile_rows(
     out_w: int,
     rotation_np,
     interp: str,
+    channels: int = 3,
 ) -> int:
     """Host-side heuristic: 16-row tiles when vertical source spans fit.
 
@@ -115,6 +116,11 @@ def suggest_tile_rows(
     prepass still guards exactness (overflow tiles fall back to XLA), so a
     wrong suggestion costs performance, never correctness.
     """
+    if channels >= 4:
+        # Backend-compiler crash (SIGABRT in its array bounds check) for
+        # >=4 channels with multi-sub-tile kernels on this toolchain;
+        # 8-row tiles compile and run correctly at any channel count.
+        return 8
     try:
         step = max(1, out_w // 256)
         cols = np.arange(0, out_w, step, dtype=np.float32)

@@ -60,6 +60,7 @@ class PipelineOptions:
     scale: float = 1.0
     num_threads: int = 1
     batch_size: int = 1  # images per device dispatch (framework extension)
+    json_log: bool = False  # machine-readable progress lines (extension)
     device: object = None  # jax.Device or None for default
 
 
@@ -95,11 +96,18 @@ def read_image(path: Path) -> ImageBuffer:
 
 
 class PipelineStats:
-    def __init__(self):
+    """Progress/failure accounting + console contract (src/main.cpp:615-619).
+
+    ``json_log=True`` switches progress lines to one-JSON-object-per-line
+    (machine-readable observability; SURVEY.md §5.5 extension).
+    """
+
+    def __init__(self, json_log: bool = False):
         self.done = 0
         self.failed: List[str] = []
         self.pixels = 0
         self.wall_seconds = 0.0
+        self.json_log = json_log
         self._lock = threading.Lock()
 
     def mark_done(self, count: int, stem: str, pixels: int = 0) -> int:
@@ -107,13 +115,23 @@ class PipelineStats:
             self.done += 1
             self.pixels += pixels
             dc = self.done
-        print(f"{dc:4d} / {count:4d}: {stem}")
+        if self.json_log:
+            import json as _json
+
+            print(_json.dumps({"event": "done", "n": dc, "total": count, "file": stem}))
+        else:
+            print(f"{dc:4d} / {count:4d}: {stem}")
         return dc
 
     def mark_failed(self, name: str, err: Exception):
         with self._lock:
             self.failed.append(name)
-        print(f"Error: {err}")
+        if self.json_log:
+            import json as _json
+
+            print(_json.dumps({"event": "error", "file": name, "message": str(err)}))
+        else:
+            print(f"Error: {err}")
 
 
 def _output_paths(output_dir: Path, p: Path):
@@ -160,6 +178,7 @@ def process_batch(
                 int(batch.shape[1]), int(batch.shape[2]),
                 opts.out_height, opts.out_width,
                 opts.rotation, opts.interp,
+                channels=int(batch.shape[3]),
             )
             outs = [
                 remap_fused.remap_tonemap(
@@ -219,7 +238,7 @@ def run_pipeline(
     output_dir_path = Path(output_dir)
     output_dir_path.mkdir(parents=True, exist_ok=True)
 
-    stats = PipelineStats()
+    stats = PipelineStats(json_log=opts.json_log)
     count = len(paths)
     t0 = time.perf_counter()
 
