@@ -83,7 +83,7 @@ def main() -> int:
 
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
 
-    tile_rows = remap_kernel.suggest_tile_rows(
+    tile_rows, n_groups = remap_kernel.suggest_tiling(
         in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
     )
 
@@ -103,6 +103,7 @@ def main() -> int:
             exposure=2.0,
             reinhard=4.0,
             tile_rows=tile_rows,
+            n_groups=n_groups,
         )
 
     # Compile + first-fetch handshake (may take minutes on tunneled chips).

@@ -62,9 +62,12 @@ MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 t
 SCAN_UNROLL = 4  # source columns processed per scan-loop iteration
 N_GROUPS = (2 * RB) // 8
 
-# Row groups the kernel gathers from after the per-tile roll, by tile
-# height (covers row spans up to groups*8 - 2*MARGIN - taps source rows).
+# Default row-group count per tile height (covers row spans up to
+# groups*8 - 2*MARGIN - taps source rows). suggest_tiling may pick more
+# groups for a given height when spans demand it; the block height
+# (2*RB = 80 rows) caps shift + groups*8 <= 80, i.e. groups <= 5.
 _GROUPS_FOR_TILE_ROWS = {8: 3, 16: 3, 24: 4, 32: 5}
+_MAX_GROUPS = 5
 
 
 def _active_groups(tile_rows: int) -> int:
@@ -98,7 +101,7 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def suggest_tile_rows(
+def suggest_tiling(
     in_lens: LensSpec,
     out_lens: LensSpec,
     in_h: int,
@@ -108,8 +111,11 @@ def suggest_tile_rows(
     rotation_np,
     interp: str,
     channels: int = 3,
-) -> int:
-    """Host-side heuristic: 16-row tiles when vertical source spans fit.
+) -> Tuple[int, int]:
+    """Host-side heuristic -> (tile_rows, n_groups).
+
+    Taller tiles amortize per-column fetches; more groups admit taller
+    row spans at extra gather cost.
 
     Evaluates the coordinate field on a decimated numpy grid and measures
     the worst per-16-row-band source row span. Conservative: the device
@@ -120,7 +126,7 @@ def suggest_tile_rows(
         # Backend-compiler crash (SIGABRT in its array bounds check) for
         # >=4 channels with multi-sub-tile kernels on this toolchain;
         # 8-row tiles compile and run correctly at any channel count.
-        return 8
+        return 8, 3
     try:
         step = max(1, out_w // 256)
         cols = np.arange(0, out_w, step, dtype=np.float32)
@@ -145,16 +151,17 @@ def suggest_tile_rows(
                 seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
                 max_span = max(max_span, float(seg.max() - seg.min()))
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
-        # larger tiles amortize per-column reads; pick the tallest whose
-        # worst 16-row-band span, scaled to the tile height, fits its
-        # group window (with one band of slack for the coarse sampling)
-        for tr in (32, 24, 16):
+        # larger tiles amortize per-column reads; pick the tallest
+        # (tile_rows, groups) combo whose worst 16-row-band span, scaled
+        # to the tile height, fits the group window (one band of slack
+        # for the coarse sampling)
+        for tr, ng in ((32, 5), (24, 4), (24, 5), (16, 3), (16, 4), (16, 5), (8, 3), (8, 4), (8, 5)):
             scaled = max_span * tr / 16.0
-            if scaled + taps + 2 * MARGIN + 2 <= _active_groups(tr) * 8:
-                return tr
+            if scaled + taps + 2 * MARGIN + 2 <= ng * 8:
+                return tr, ng
     except Exception:
         pass
-    return 8
+    return 8, 3
 
 
 def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
@@ -254,8 +261,8 @@ def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) ->
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
+    n_groups,
 ):
-    n_groups = _active_groups(tile_rows)
     """Per-tile window scalars + global ok flag (device-side, XLA)."""
     xt, yt = _field_taps(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
@@ -307,7 +314,10 @@ def _prepass(
     if wrap:
         # Monotonized columns must stay inside the physical wrap margin.
         ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + MARGIN)
-    ok = jnp.all(ok_all)
+    # Overflow tiles still run through the kernel (their output is patched
+    # afterwards); clamp their scan length so they cost one unroll step
+    # instead of scanning a frame-wide window of garbage.
+    n_scan = jnp.where(ok_all, n_scan, SCAN_UNROLL)
     # Pack the 8 per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost 8x the SMEM (exhausts the 1MB SMEM at
@@ -325,16 +335,15 @@ def _prepass(
         ],
         axis=-1,
     ).reshape(blk.shape[0], blk.shape[1] * 8)
-    return scalars, ok
+    return scalars, jnp.logical_not(ok_all)
 
 
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-    off_x, off_y, interp, wrap, has_rotation, tile_rows,
+    off_x, off_y, interp, wrap, has_rotation, tile_rows, n_groups,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
-    n_groups = _active_groups(tile_rows)
 
     def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
@@ -486,8 +495,12 @@ def _remap_pallas_one(
     off_x: float,
     off_y: float,
     tile_rows: int = TR,
+    n_groups: int = 0,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (out_h, out_w, C), ok flag)."""
+    if n_groups <= 0:
+        n_groups = _active_groups(tile_rows)
+    n_groups = min(n_groups, _MAX_GROUPS)
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
@@ -500,10 +513,16 @@ def _remap_pallas_one(
     n_rp = h_pad // RB - 1
     n_cp = w_pad // CB - 1
 
-    scalars, ok = _prepass(
+    scalars, bad = _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
+        n_groups,
     )
+    n_bad = jnp.sum(bad.astype(jnp.int32))
+    # Hybrid threshold: patching a tile costs ~XLA-gather on its pixels;
+    # beyond ~1/8 of the frame the full XLA path is cheaper.
+    max_bad = max(1, (n_ty * n_tx) // 8)
+    bad_ty, bad_tx = jnp.nonzero(bad, size=max_bad, fill_value=-1)
 
     has_rotation = rotation is not None
     rot_arr = jnp.zeros((1, 16), jnp.float32)
@@ -512,7 +531,7 @@ def _remap_pallas_one(
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-        off_x, off_y, interp, wrap, has_rotation, tile_rows,
+        off_x, off_y, interp, wrap, has_rotation, tile_rows, n_groups,
     )
 
     def pallas_branch(operands):
@@ -543,6 +562,50 @@ def _remap_pallas_one(
             grid_spec=grid_spec,
             interpret=_INTERPRET,
         )(scalars, rot_, blocks)
+
+        # Patch overflow tiles with exact XLA-sampled values (a fori over
+        # the padded bad-tile list; fill slots are no-ops). Boundary rings
+        # (fisheye FOV edges, poles) are a tiny fraction of tiles, so this
+        # keeps whole frames on the kernel path.
+        src_back = jnp.transpose(
+            padded_[:, PAD:PAD + in_h, PAD:PAD + in_w], (1, 2, 0)
+        )
+        rot_mat = rotation if has_rotation else None
+        wrap_mode = wrap_mode_for_input(in_lens)
+        from .. import sampling as sampling_mod
+
+        def patch_one(i, planar):
+            # nonzero() packs real hits first, so slots < n_bad are valid.
+            ty = bad_ty[i]
+            tx = bad_tx[i]
+            rows = jnp.minimum(
+                ty * tile_rows
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
+                out_h - 1,
+            )
+            cols = jnp.minimum(
+                tx * TC + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
+                out_w - 1,
+            )
+            cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+                out_w * 0.5
+            ) + jnp.float32(off_x)
+            cy = (rows.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
+                out_h * 0.5
+            ) + jnp.float32(off_y)
+            sx, sy = remap_ops.source_coords(
+                in_lens, out_lens, in_h, in_w, cx, cy, rot_mat,
+                out_h, out_w, xp=jnp,
+            )
+            tile_vals = sampling_mod.sample(src_back, sx, sy, interp, wrap_mode)
+            patch = jnp.transpose(tile_vals, (2, 0, 1))  # (C, tile_rows, TC)
+            return jax.lax.dynamic_update_slice(
+                planar, patch, (0, ty * tile_rows, tx * TC)
+            )
+
+        out_planar = jax.lax.fori_loop(
+            0, jnp.minimum(n_bad, max_bad), patch_one, out_planar
+        )
         return jnp.transpose(out_planar[:, :out_h, :out_w], (1, 2, 0))
 
     def xla_branch(operands):
@@ -556,7 +619,10 @@ def _remap_pallas_one(
             in_lens, out_lens, out_h, out_w, interp, off_x, off_y,
         )
 
-    return jax.lax.cond(ok, pallas_branch, xla_branch, (padded, rot_arr)), ok
+    result = jax.lax.cond(
+        n_bad <= max_bad, pallas_branch, xla_branch, (padded, rot_arr)
+    )
+    return result, n_bad == 0
 
 
 def _xla_subsample(src, rotation, in_lens, out_lens, out_h, out_w, interp, off_x, off_y):
@@ -591,13 +657,14 @@ def remap_pallas(
     exposure: float = 1.0,
     reinhard: float = 1.0,
     tile_rows: int = TR,
+    n_groups: int = 0,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
     ``tile_rows`` (8 or 16): taller tiles amortize the per-scan-column
     read/transpose/roll over more output rows but need the tile's source
     row span to stay within the kernel's 3-group window — see
-    ``suggest_tile_rows`` for a safe choice.
+    ``suggest_tiling`` for a safe choice.
     """
     from .. import color as color_ops
 
@@ -610,7 +677,7 @@ def remap_pallas(
                 in_lens=in_lens, out_lens=out_lens,
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
-                tile_rows=tile_rows,
+                tile_rows=tile_rows, n_groups=n_groups,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))

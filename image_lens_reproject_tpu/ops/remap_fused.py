@@ -33,6 +33,7 @@ from . import remap as remap_ops
         "exposure",
         "reinhard",
         "tile_rows",
+        "n_groups",
     ),
 )
 def remap_tonemap(
@@ -48,6 +49,7 @@ def remap_tonemap(
     exposure: float = 1.0,
     reinhard: float = 1.0,
     tile_rows: int = 8,
+    n_groups: int = 0,
 ) -> jax.Array:
     """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
     use_pallas = False
@@ -74,6 +76,7 @@ def remap_tonemap(
             exposure=exposure,
             reinhard=reinhard,
             tile_rows=tile_rows,
+            n_groups=n_groups,
         )
         return out
 

@@ -173,7 +173,7 @@ def process_batch(
             from .ops import remap_fused
             from .ops.pallas import remap_kernel
 
-            tile_rows = remap_kernel.suggest_tile_rows(
+            tile_rows, n_groups = remap_kernel.suggest_tiling(
                 opts.input_lens, opts.output_lens,
                 int(batch.shape[1]), int(batch.shape[2]),
                 opts.out_height, opts.out_width,
@@ -193,6 +193,7 @@ def process_batch(
                     exposure=opts.exposure,
                     reinhard=opts.reinhard,
                     tile_rows=tile_rows,
+                    n_groups=n_groups,
                 )
                 for i in range(batch.shape[0])
             ]
