@@ -122,11 +122,7 @@ def suggest_tiling(
     prepass still guards exactness (overflow tiles fall back to XLA), so a
     wrong suggestion costs performance, never correctness.
     """
-    if channels >= 4:
-        # Backend-compiler crash (SIGABRT in its array bounds check) for
-        # >=4 channels with multi-sub-tile kernels on this toolchain;
-        # 8-row tiles compile and run correctly at any channel count.
-        return 8, 3
+    del channels  # kept for API stability; no channel-dependent limits
     try:
         step = max(1, out_w // 256)
         cols = np.arange(0, out_w, step, dtype=np.float32)
@@ -524,10 +520,17 @@ def _remap_pallas_one(
     max_bad = max(1, (n_ty * n_tx) // 8)
     bad_ty, bad_tx = jnp.nonzero(bad, size=max_bad, fill_value=-1)
 
-    has_rotation = rotation is not None
+    # The kernel ALWAYS applies a rotation: identity when none was given
+    # (bitwise-identical results — multiplying by exact identity is exact
+    # in f32, and the reference itself always multiplies, src/main.cpp:323).
+    # This also dodges a backend-compiler SIGABRT that hits multi-sub-tile
+    # kernels whose SMEM rotation operand is unused (rotation=None).
+    has_rotation = True
+    rot_for_kernel = (
+        rotation if rotation is not None else jnp.eye(3, dtype=jnp.float32)
+    )
     rot_arr = jnp.zeros((1, 16), jnp.float32)
-    if has_rotation:
-        rot_arr = rot_arr.at[0, :9].set(rotation.reshape(9).astype(jnp.float32))
+    rot_arr = rot_arr.at[0, :9].set(rot_for_kernel.reshape(9).astype(jnp.float32))
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
