@@ -257,9 +257,12 @@ def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) ->
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-    n_groups,
+    n_groups, margin=MARGIN,
 ):
-    """Per-tile window scalars + global ok flag (device-side, XLA)."""
+    """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
+
+    ``margin`` widens the windows; supersampled runs pass MARGIN+1 so one
+    prepass (at offset 0) covers every +-0.5px stratified offset."""
     xt, yt = _field_taps(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows,
@@ -281,35 +284,35 @@ def _prepass(
     rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
     rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
 
-    rblk = jnp.clip((rmin - MARGIN) // RB, 0, max(n_rp - 1, 0))
+    rblk = jnp.clip((rmin - margin) // RB, 0, max(n_rp - 1, 0))
     r_base = rblk * RB
     ok_r = jnp.logical_and(
-        rmax + MARGIN + 1 - r_base <= 2 * RB, rmin - MARGIN - r_base >= 0
+        rmax + margin + 1 - r_base <= 2 * RB, rmin - margin - r_base >= 0
     )
     # The kernel rolls each source column so the tile's first needed row
     # lands on sublane 0 and covers N_ACTIVE_GROUPS*8 rows with static
     # group slices — tiles with taller row spans fall back to XLA.
-    row_shift = jnp.clip(rmin - MARGIN - r_base, 0, 2 * RB - 1)
+    row_shift = jnp.clip(rmin - margin - r_base, 0, 2 * RB - 1)
     ok_r = jnp.logical_and(
-        ok_r, (rmax - rmin + 2 * MARGIN + 1) <= n_groups * 8
+        ok_r, (rmax - rmin + 2 * margin + 1) <= n_groups * 8
     )
-    cblk = jnp.clip((cmin - MARGIN) // CB, 0, max(n_cp - 1, 0))
+    cblk = jnp.clip((cmin - margin) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
-    c_start = cmin - MARGIN
+    c_start = cmin - margin
     # Pad the scan length to the kernel's unroll factor: the extra columns
     # sit beyond every tap (weights identically zero) and the in-kernel
     # sublane clamp keeps their reads in bounds.
-    n_scan = cmax - cmin + 2 * MARGIN + 1
+    n_scan = cmax - cmin + 2 * margin + 1
     n_scan = ((n_scan + SCAN_UNROLL - 1) // SCAN_UNROLL) * SCAN_UNROLL
     ok_c = jnp.logical_and(
-        cmax + MARGIN + 1 - c_base <= 2 * CB, c_start - c_base >= 0
+        cmax + margin + 1 - c_base <= 2 * CB, c_start - c_base >= 0
     )
 
     blk = (rblk * n_cp + cblk).astype(jnp.int32)
     ok_all = jnp.logical_and(ok_r, ok_c)
     if wrap:
         # Monotonized columns must stay inside the physical wrap margin.
-        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + MARGIN)
+        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + margin)
     # Overflow tiles still run through the kernel (their output is patched
     # afterwards); clamp their scan length so they cost one unroll step
     # instead of scanning a frame-wide window of garbage.
@@ -336,7 +339,7 @@ def _prepass(
 
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-    off_x, off_y, interp, wrap, has_rotation, tile_rows, n_groups,
+    interp, wrap, has_rotation, tile_rows, n_groups,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -359,12 +362,14 @@ def _make_kernel(
             tx * TC + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
             out_w - 1,
         )
+        # Sub-pixel supersample offsets ride in SMEM slots 9/10 so one
+        # compiled kernel serves every stratified offset.
         cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
             out_w * 0.5
-        ) + jnp.float32(off_x)
+        ) + rot_ref[0, 9]
         cy = (rows.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
             out_h * 0.5
-        ) + jnp.float32(off_y)
+        ) + rot_ref[0, 10]
 
         rot = None
         if has_rotation:
@@ -492,8 +497,14 @@ def _remap_pallas_one(
     off_y: float,
     tile_rows: int = TR,
     n_groups: int = 0,
+    shared=None,
 ) -> Tuple[Array, Array]:
-    """One subsample launch. Returns (out (out_h, out_w, C), ok flag)."""
+    """One subsample launch. Returns (out (out_h, out_w, C), ok flag).
+
+    ``shared``: optional (padded, scalars, bad) from a previous subsample
+    of the same run (prepass computed with a widened margin at offset 0
+    covers all stratified offsets; the block stack is offset-independent).
+    """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
     n_groups = min(n_groups, _MAX_GROUPS)
@@ -504,16 +515,18 @@ def _remap_pallas_one(
     n_ty = -(-out_h // tile_rows)
     n_tx = -(-out_w // TC)
 
-    src_chw = jnp.transpose(src, (2, 0, 1))
-    padded, h_pad, w_pad = _pad_source(src_chw, wrap)
-    n_rp = h_pad // RB - 1
-    n_cp = w_pad // CB - 1
-
-    scalars, bad = _prepass(
-        in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-        n_groups,
-    )
+    if shared is None:
+        src_chw = jnp.transpose(src, (2, 0, 1))
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap)
+        n_rp = h_pad // RB - 1
+        n_cp = w_pad // CB - 1
+        scalars, bad = _prepass(
+            in_lens, out_lens, in_h, in_w, out_h, out_w,
+            rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+            tile_rows, n_groups,
+        )
+    else:
+        padded, scalars, bad = shared
     n_bad = jnp.sum(bad.astype(jnp.int32))
     # Hybrid threshold: patching a tile costs ~XLA-gather on its pixels;
     # beyond ~1/8 of the frame the full XLA path is cheaper.
@@ -531,10 +544,12 @@ def _remap_pallas_one(
     )
     rot_arr = jnp.zeros((1, 16), jnp.float32)
     rot_arr = rot_arr.at[0, :9].set(rot_for_kernel.reshape(9).astype(jnp.float32))
+    rot_arr = rot_arr.at[0, 9].set(jnp.float32(off_x))
+    rot_arr = rot_arr.at[0, 10].set(jnp.float32(off_y))
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-        off_x, off_y, interp, wrap, has_rotation, tile_rows, n_groups,
+        interp, wrap, has_rotation, tile_rows, n_groups,
     )
 
     def pallas_branch(operands):
@@ -672,6 +687,30 @@ def remap_pallas(
     from .. import color as color_ops
 
     offsets = remap_ops.supersample_offsets(n_samples)
+
+    # For n > 1, compute padding/blocks/prepass ONCE: the block stack is
+    # offset-independent, and a prepass at offset 0 with margin+1 bounds
+    # every +-0.5px stratified offset.
+    shared = None
+    if n_samples > 1:
+        if n_groups <= 0:
+            n_groups_eff = _active_groups(tile_rows)
+        else:
+            n_groups_eff = min(n_groups, _MAX_GROUPS)
+        in_h, in_w = int(src.shape[0]), int(src.shape[1])
+        wrap = wrap_mode_for_input(in_lens)
+        n_ty = -(-out_h // tile_rows)
+        n_tx = -(-out_w // TC)
+        src_chw = jnp.transpose(src, (2, 0, 1))
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap)
+        scalars, bad = _prepass(
+            in_lens, out_lens, in_h, in_w, out_h, out_w,
+            rotation, 0.0, 0.0, interp, wrap, n_ty, n_tx,
+            h_pad // RB - 1, w_pad // CB - 1, tile_rows, n_groups_eff,
+            margin=MARGIN + 1,
+        )
+        shared = (padded, scalars, bad)
+
     acc = None
     for off_x in offsets:
         for off_y in offsets:
@@ -681,6 +720,7 @@ def remap_pallas(
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
                 tile_rows=tile_rows, n_groups=n_groups,
+                shared=shared,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))
