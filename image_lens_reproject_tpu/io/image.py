@@ -30,7 +30,6 @@ class DataLayout(enum.Enum):
         return abs(self.value)
 
 
-LAYOUT_FOR_CHANNELS = {3: DataLayout.RGB, 4: DataLayout.RGBA, 5: DataLayout.RGBAZ}
 
 
 @dataclasses.dataclass

@@ -60,7 +60,6 @@ CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 SCAN_UNROLL = 4  # source columns processed per scan-loop iteration
-N_GROUPS = (2 * RB) // 8
 
 # Default row-group count per tile height (covers row spans up to
 # groups*8 - 2*MARGIN - taps source rows). suggest_tiling may pick more

@@ -1,0 +1,121 @@
+"""Pipeline orchestrator tests: batching, isolation, resume, stats."""
+
+import math
+
+import numpy as np
+import pytest
+
+from image_lens_reproject_tpu.io import exr, png
+from image_lens_reproject_tpu.models.lens import FisheyeEquidistant, Rectilinear
+from image_lens_reproject_tpu.pipeline import (
+    PipelineOptions,
+    discover_files,
+    run_pipeline,
+)
+
+F = np.float32
+
+
+def make_png(path, size=16, value=0.5):
+    png.write_png(str(path), np.full((size, size, 3), value, dtype=F))
+
+
+def base_opts(**kw):
+    defaults = dict(
+        input_lens=FisheyeEquidistant(math.pi, 36.0, 36.0),
+        output_lens=Rectilinear(35.0, 36.0, 36.0),
+        out_width=16,
+        out_height=16,
+        interp="bilinear",
+        store_png=True,
+        num_threads=2,
+    )
+    defaults.update(kw)
+    return PipelineOptions(**defaults)
+
+
+def test_discovery_filters_and_sorts(tmp_path):
+    for name in ["b.png", "a.exr", "c.txt", "d.jpeg", "x_a.png"]:
+        (tmp_path / name).write_bytes(b"")
+    paths = discover_files(str(tmp_path))
+    assert [p.name for p in paths] == ["a.exr", "b.png", "x_a.png"]
+    paths = discover_files(str(tmp_path), filter_prefix="x")
+    assert [p.name for p in paths] == ["x_a.png"]
+
+
+def test_corrupt_file_isolated(tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    make_png(in_dir / "good1.png")
+    (in_dir / "bad.png").write_bytes(b"not a png at all")
+    make_png(in_dir / "good2.png")
+    stats = run_pipeline(discover_files(str(in_dir)), str(tmp_path / "out"), base_opts())
+    assert stats.done == 2
+    assert stats.failed == ["bad.png"]
+    assert (tmp_path / "out" / "good1.png").exists()
+    assert (tmp_path / "out" / "good2.png").exists()
+
+
+def test_mixed_shapes_batched_separately(tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    make_png(in_dir / "a.png", size=16)
+    make_png(in_dir / "b.png", size=32)
+    make_png(in_dir / "c.png", size=16)
+    stats = run_pipeline(
+        discover_files(str(in_dir)), str(tmp_path / "out"),
+        base_opts(batch_size=4),
+    )
+    assert stats.done == 3 and not stats.failed
+
+
+def test_skip_if_exists_counts_done(tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    make_png(in_dir / "a.png")
+    opts = base_opts(skip_if_exists=True)
+    out_dir = str(tmp_path / "out")
+    run_pipeline(discover_files(str(in_dir)), out_dir, opts)
+    stats = run_pipeline(discover_files(str(in_dir)), out_dir, opts)
+    assert stats.done == 1  # counted as done without re-processing
+    assert not stats.failed
+
+
+def test_skip_requires_all_formats(tmp_path):
+    # PNG exists but EXR missing -> must NOT skip (src/main.cpp:551-563).
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    make_png(in_dir / "a.png")
+    out_dir = tmp_path / "out"
+    run_pipeline(discover_files(str(in_dir)), str(out_dir), base_opts(skip_if_exists=True))
+    assert (out_dir / "a.png").exists() and not (out_dir / "a.exr").exists()
+    stats = run_pipeline(
+        discover_files(str(in_dir)), str(out_dir),
+        base_opts(skip_if_exists=True, store_exr=True),
+    )
+    assert stats.done == 1
+    assert (out_dir / "a.exr").exists()
+
+
+def test_no_reproject_tonemap_only(tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    make_png(in_dir / "a.png", value=0.25)
+    stats = run_pipeline(
+        discover_files(str(in_dir)), str(tmp_path / "out"),
+        base_opts(do_reproject=False, exposure=4.0, reinhard=2.0),
+    )
+    assert stats.done == 1
+    out = png.read_png(str(tmp_path / "out" / "a.png")).data
+    v = 0.25 * 4.0
+    want = v * (1 + v / 4.0) / (1 + v)
+    np.testing.assert_allclose(out.mean(), want, atol=0.02)
+
+
+def test_distributed_helpers_single_host():
+    from image_lens_reproject_tpu.parallel import distributed
+
+    assert distributed.init() is False  # no coordinator -> single process
+    mesh = distributed.global_mesh(rows=2)
+    assert mesh.shape["rows"] == 2
+    assert distributed.local_batch_slice(8) == slice(0, 8)
