@@ -219,15 +219,18 @@ def _stack_blocks(padded: Array) -> Tuple[Array, int, int]:
 
 def _field_taps(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
-    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows,
+    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows, row0=0,
 ):
     """Coordinate field + tap indices on the TR/TC-padded output grid.
 
+    ``row0`` offsets the band's global output row (spatial sharding: each
+    device computes rows [row0, row0 + n_ty*tile_rows) of the full image).
     Edge tiles beyond out_h/out_w replicate the last real pixel's
     coordinates so their windows stay bounded by real content.
     """
     rows = jnp.minimum(
-        jax.lax.broadcasted_iota(jnp.int32, (n_ty * tile_rows, n_tx * TC), 0),
+        row0
+        + jax.lax.broadcasted_iota(jnp.int32, (n_ty * tile_rows, n_tx * TC), 0),
         out_h - 1,
     )
     cols = jnp.minimum(
@@ -256,7 +259,7 @@ def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) ->
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-    n_groups, margin=MARGIN,
+    n_groups, margin=MARGIN, row0=0,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
@@ -264,7 +267,7 @@ def _prepass(
     prepass (at offset 0) covers every +-0.5px stratified offset."""
     xt, yt = _field_taps(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows,
+        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows, row0=row0,
     )
     # column extremes (unpadded, wrapped space) for seam detection
     xs = jnp.stack(xt.idx)  # (n_taps, Hp, Wp)
@@ -353,8 +356,10 @@ def _make_kernel(
         c_base = scalars_s[ty, tx * 8 + 5]
         row_shift = scalars_s[ty, tx * 8 + 6]
 
+        row0_k = rot_ref[0, 11].astype(jnp.int32)
         rows = jnp.minimum(
-            ty * tile_rows + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
+            row0_k + ty * tile_rows
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
             out_h - 1,
         )
         cols = jnp.minimum(
@@ -497,8 +502,15 @@ def _remap_pallas_one(
     tile_rows: int = TR,
     n_groups: int = 0,
     shared=None,
+    row0=0,
+    band_rows: int = 0,
 ) -> Tuple[Array, Array]:
-    """One subsample launch. Returns (out (out_h, out_w, C), ok flag).
+    """One subsample launch. Returns (out (band_rows, out_w, C), ok flag).
+
+    ``row0``/``band_rows``: compute only output rows
+    [row0, row0 + band_rows) — the unit of multi-chip spatial sharding
+    (band_rows=0 means the full image). row0 may be traced
+    (jax.lax.axis_index under shard_map).
 
     ``shared``: optional (padded, scalars, bad) from a previous subsample
     of the same run (prepass computed with a widened margin at offset 0
@@ -511,7 +523,9 @@ def _remap_pallas_one(
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
 
-    n_ty = -(-out_h // tile_rows)
+    if band_rows <= 0:
+        band_rows = out_h
+    n_ty = -(-band_rows // tile_rows)
     n_tx = -(-out_w // TC)
 
     if shared is None:
@@ -522,7 +536,7 @@ def _remap_pallas_one(
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
-            tile_rows, n_groups,
+            tile_rows, n_groups, row0=row0,
         )
     else:
         padded, scalars, bad = shared
@@ -545,6 +559,7 @@ def _remap_pallas_one(
     rot_arr = rot_arr.at[0, :9].set(rot_for_kernel.reshape(9).astype(jnp.float32))
     rot_arr = rot_arr.at[0, 9].set(jnp.float32(off_x))
     rot_arr = rot_arr.at[0, 10].set(jnp.float32(off_y))
+    rot_arr = rot_arr.at[0, 11].set(jnp.asarray(row0, jnp.float32))
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
@@ -596,7 +611,7 @@ def _remap_pallas_one(
             ty = bad_ty[i]
             tx = bad_tx[i]
             rows = jnp.minimum(
-                ty * tile_rows
+                row0 + ty * tile_rows
                 + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
                 out_h - 1,
             )
@@ -623,7 +638,7 @@ def _remap_pallas_one(
         out_planar = jax.lax.fori_loop(
             0, jnp.minimum(n_bad, max_bad), patch_one, out_planar
         )
-        return jnp.transpose(out_planar[:, :out_h, :out_w], (1, 2, 0))
+        return jnp.transpose(out_planar[:, :band_rows, :out_w], (1, 2, 0))
 
     def xla_branch(operands):
         padded_, rot_ = operands
@@ -634,6 +649,7 @@ def _remap_pallas_one(
         return _xla_subsample(
             src_back, rotation if has_rotation else None,
             in_lens, out_lens, out_h, out_w, interp, off_x, off_y,
+            row0=row0, band_rows=band_rows,
         )
 
     result = jax.lax.cond(
@@ -642,18 +658,21 @@ def _remap_pallas_one(
     return result, n_bad == 0
 
 
-def _xla_subsample(src, rotation, in_lens, out_lens, out_h, out_w, interp, off_x, off_y):
+def _xla_subsample(src, rotation, in_lens, out_lens, out_h, out_w, interp,
+                   off_x, off_y, row0=0, band_rows: int = 0):
     """Pure-XLA single-subsample remap at the given sub-pixel offset."""
     from .. import sampling
 
+    if band_rows <= 0:
+        band_rows = out_h
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     wrap = wrap_mode_for_input(in_lens)
     cx = (jnp.arange(out_w, dtype=jnp.float32) + jnp.float32(0.5)) - jnp.float32(
         out_w * 0.5
     ) + jnp.float32(off_x)
-    cy = (jnp.arange(out_h, dtype=jnp.float32) + jnp.float32(0.5)) - jnp.float32(
-        out_h * 0.5
-    ) + jnp.float32(off_y)
+    cy = (
+        (row0 + jnp.arange(band_rows, dtype=jnp.float32)) + jnp.float32(0.5)
+    ) - jnp.float32(out_h * 0.5) + jnp.float32(off_y)
     sx, sy = remap_ops.source_coords(
         in_lens, out_lens, in_h, in_w, cx[None, :], cy[:, None],
         rotation, out_h, out_w, xp=jnp,
@@ -675,6 +694,8 @@ def remap_pallas(
     reinhard: float = 1.0,
     tile_rows: int = TR,
     n_groups: int = 0,
+    row0=0,
+    band_rows: int = 0,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
@@ -698,7 +719,7 @@ def remap_pallas(
             n_groups_eff = min(n_groups, _MAX_GROUPS)
         in_h, in_w = int(src.shape[0]), int(src.shape[1])
         wrap = wrap_mode_for_input(in_lens)
-        n_ty = -(-out_h // tile_rows)
+        n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
         n_tx = -(-out_w // TC)
         src_chw = jnp.transpose(src, (2, 0, 1))
         padded, h_pad, w_pad = _pad_source(src_chw, wrap)
@@ -706,7 +727,7 @@ def remap_pallas(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, 0.0, 0.0, interp, wrap, n_ty, n_tx,
             h_pad // RB - 1, w_pad // CB - 1, tile_rows, n_groups_eff,
-            margin=MARGIN + 1,
+            margin=MARGIN + 1, row0=row0,
         )
         shared = (padded, scalars, bad)
 
@@ -719,7 +740,7 @@ def remap_pallas(
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
                 tile_rows=tile_rows, n_groups=n_groups,
-                shared=shared,
+                shared=shared, row0=row0, band_rows=band_rows,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))
