@@ -83,7 +83,7 @@ def main() -> int:
 
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
 
-    tile_rows, n_groups = remap_kernel.suggest_tiling(
+    tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
         in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
     )
 
@@ -104,6 +104,7 @@ def main() -> int:
             reinhard=4.0,
             tile_rows=tile_rows,
             n_groups=n_groups,
+            rb=rb,
         )
 
     # Compile + first-fetch handshake (may take minutes on tunneled chips).

@@ -48,23 +48,28 @@ def main() -> int:
     rot = rotation_matrix_degrees(15.0, 5.0, 0.0)
     rot180 = rotation_matrix_degrees(180.0, 0.0, 0.0)
 
+    rot2 = rotation_matrix_degrees(30.0, 10.0, 5.0)
     cases = [
-        ("equirect->rect bicubic rot 512", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 8),
-        ("equirect->rect bicubic rot 512 T16", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 16),
-        ("equirect->rect bicubic rot 512 T32", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 32),
-        ("equirect->rect seam180 bl", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8),
-        ("equidist->rect nn", EQUIDIST, RECT, "nearest", None, (256, 256), (256, 256), 8),
-        ("equisolid->equirect bl T16", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16),
-        ("rect->equisolid bc", RECT, EQUISOLID, "bicubic", None, (256, 256), (256, 256), 8),
+        ("equirect->rect bicubic rot 512", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 8, 0, 40),
+        ("equirect->rect bicubic rot 512 T16", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 16, 0, 40),
+        ("equirect->rect bicubic rot 512 T32", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 32, 0, 40),
+        ("equirect->rect seam180 bl", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8, 0, 40),
+        ("equidist->rect nn", EQUIDIST, RECT, "nearest", None, (256, 256), (256, 256), 8, 0, 40),
+        ("equisolid->equirect bl T16", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16, 0, 40),
+        ("rect->equisolid bc", RECT, EQUISOLID, "bicubic", None, (256, 256), (256, 256), 8, 0, 40),
+        # tall-window variants (rb>40): polar-arc tiles + vectorized patch
+        ("equisolid->equirect rot tall", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 8, 20, 160),
+        ("rect->equisolid tall (annulus)", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 8, 20, 160),
     ]
 
     failures = 0
-    for name, il, ol, interp, r, (ih, iw), (oh, ow), trows in cases:
+    for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
         src = smooth(ih, iw, 3, seed=hash(name) % 1000)
         rj = None if r is None else jnp.asarray(r)
         out = RK.remap_pallas(
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,
             out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=trows,
+            n_groups=ng, rb=rb,
         )
         got = np.asarray(out)
         want = oracle.oracle_remap(

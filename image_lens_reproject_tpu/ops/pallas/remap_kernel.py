@@ -53,20 +53,26 @@ TR = 8      # default output tile rows (see tile_rows parameter; 16 shares
             # each scan column's read/transpose/roll across two 8-row
             # sub-tiles — the dominant per-column cost — when row spans fit)
 TC = 128    # output tile cols (one vreg of lanes)
-RB = 40     # source row-window quantization step; blocks span 2*RB rows
-            # (block rows pad to 128 lanes anyway; 80 rows let 32-row tiles'
-            # windows always fit regardless of the quantization shift)
+RB = 40     # default source row-window quantization step; blocks span 2*rb
+            # rows. Per-launch ``rb`` overrides admit tall windows (fisheye
+            # <-> equirect polar arcs need 100-200-row spans); the group
+            # budget scales with it (see _max_groups).
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 SCAN_UNROLL = 4  # source columns processed per scan-loop iteration
 
 # Default row-group count per tile height (covers row spans up to
-# groups*8 - 2*MARGIN - taps source rows). suggest_tiling may pick more
-# groups for a given height when spans demand it; the block height
-# (2*RB = 80 rows) caps shift + groups*8 <= 80, i.e. groups <= 5.
+# groups*8 - 2*MARGIN - taps source rows) at the default rb. suggest_tiling
+# may pick more groups and/or a taller rb when spans demand it.
 _GROUPS_FOR_TILE_ROWS = {8: 3, 16: 3, 24: 4, 32: 5}
-_MAX_GROUPS = 5
+
+
+def _max_groups(rb: int) -> int:
+    # Groups may promise up to the full 2*rb block; tiles whose quantization
+    # shift eats into that are caught by the prepass block-fit check and
+    # fall back, so correctness never depends on this cap.
+    return (2 * rb) // 8
 
 
 def _active_groups(tile_rows: int) -> int:
@@ -100,6 +106,24 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# (tile_rows, n_groups, rb) candidate grid: taller tiles amortize the
+# per-column fetch; more groups (with a taller row-block rb) admit the
+# 100-200-row source spans of fisheye<->equirect polar arcs at
+# proportionally more masked-gather work.
+_TILING_CANDIDATES = tuple(
+    (tr, ng, rb)
+    for tr in (8, 16, 24, 32)
+    for ng, rb in ((3, 40), (4, 40), (5, 40), (10, 80), (20, 160))
+)
+
+# Cost-model constants (ns/output-pixel, fitted to v5e measurements on the
+# BASELINE configs; ranking-only — the runtime prepass guards exactness).
+_PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles
+_KERNEL_BASE_NS = 60.0    # per-column fetch/roll/loop, amortized over tr
+_KERNEL_GROUP_NS = 4.0    # per (group x tap) masked-gather work
+_KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure at ng=20)
+
+
 def suggest_tiling(
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -110,16 +134,19 @@ def suggest_tiling(
     rotation_np,
     interp: str,
     channels: int = 3,
-) -> Tuple[int, int]:
-    """Host-side heuristic -> (tile_rows, n_groups).
+) -> Tuple[int, int, int]:
+    """Host-side heuristic -> (tile_rows, n_groups, rb).
 
-    Taller tiles amortize per-column fetches; more groups admit taller
-    row spans at extra gather cost.
+    Taller tiles amortize per-column fetches; more groups (and a taller
+    row-block ``rb``) admit taller row spans at extra gather cost.
 
-    Evaluates the coordinate field on a decimated numpy grid and measures
-    the worst per-16-row-band source row span. Conservative: the device
-    prepass still guards exactness (overflow tiles fall back to XLA), so a
-    wrong suggestion costs performance, never correctness.
+    Evaluates the coordinate field on a decimated numpy grid, estimates
+    each candidate's overflow-tile fraction (those get chunk-patched at
+    ~XLA-gather cost), and picks the candidate minimizing modeled cost.
+    Degenerate tiles (FOV boundaries, pole annuli) are expected and
+    patched; they must not force the whole config onto a conservative
+    tiling or the XLA path. Conservative: the device prepass still guards
+    exactness, so a wrong suggestion costs performance, never correctness.
     """
     del channels  # kept for API stability; no channel-dependent limits
     try:
@@ -135,31 +162,45 @@ def suggest_tiling(
         )
         sy = np.clip(np.broadcast_to(sy, (rows.size, cols.size)), -4.0, in_h + 4.0)
         band = 16 // 2  # rows sampled every 2 -> 8 samples per 16-row band
-        n_bands = rows.size // band
+        n_bands = max(1, rows.size // band)
         cchunk = max(1, -(-TC // step))  # samples per 128-col tile
         n_cchunks = max(1, cols.size // cchunk)
-        max_span = 0.0
+        spans = np.empty((n_bands, n_cchunks), np.float32)
         for b in range(n_bands):
             chunk = sy[b * band:(b + 1) * band]
             for cc in range(n_cchunks):
                 # +1 sample overlap: tiles straddle chunk boundaries
                 seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
-                max_span = max(max_span, float(seg.max() - seg.min()))
+                spans[b, cc] = seg.max() - seg.min()
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
-        # larger tiles amortize per-column reads; pick the tallest
-        # (tile_rows, groups) combo whose worst 16-row-band span, scaled
-        # to the tile height, fits the group window (one band of slack
-        # for the coarse sampling)
-        for tr, ng in ((32, 5), (24, 4), (24, 5), (16, 3), (16, 4), (16, 5), (8, 3), (8, 4), (8, 5)):
-            scaled = max_span * tr / 16.0
-            if scaled + taps + 2 * MARGIN + 2 <= ng * 8:
-                return tr, ng
+
+        def frac_over(tr, ng):
+            scaled = spans * (tr / 16.0) + taps + 2 * MARGIN + 2
+            return float((scaled > ng * 8).mean())
+
+        # Pick the candidate minimizing modeled per-pixel cost: overflow
+        # tiles are patched at ~XLA-gather cost, fitting tiles pay the scan
+        # kernel (fetch amortized over tile_rows, gathers scaling with
+        # groups x taps). Hard-cap the overflow fraction just under the
+        # kernel's 45% runtime patch limit (sampled spans are noisy).
+        best = None
+        for tr, ng, rb in _TILING_CANDIDATES:
+            f = frac_over(tr, ng)
+            if f > 0.42:
+                continue
+            grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
+            kern = (_KERNEL_BASE_NS + grp_ns * ng * taps) / tr
+            cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
+            if best is None or cost < best[0]:
+                best = (cost, tr, ng, rb)
+        if best is not None:
+            return best[1], best[2], best[3]
     except Exception:
         pass
-    return 8, 3
+    return 8, 3, RB
 
 
-def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
+def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, int]:
     """Pad (C, H, W) with clamp/wrap margins; round to block multiples.
 
     Returns (padded (C, H_pad, W_pad), h_pad, w_pad). Index mapping:
@@ -169,11 +210,11 @@ def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
     c, h, w = src_chw.shape
     # rows: replicate top/bottom edges (y always clamps)
     top = jnp.repeat(src_chw[:, :1, :], PAD, axis=1)
-    bot_extra = _ceil_to(h + 2 * PAD, RB) - (h + PAD)
+    bot_extra = _ceil_to(h + 2 * PAD, rb) - (h + PAD)
     h_pad = h + PAD + bot_extra
-    if h_pad < 2 * RB:
-        bot_extra += 2 * RB - h_pad
-        h_pad = 2 * RB
+    if h_pad < 2 * rb:
+        bot_extra += 2 * rb - h_pad
+        h_pad = 2 * rb
     bot = jnp.repeat(src_chw[:, -1:, :], bot_extra, axis=1)
     x = jnp.concatenate([top, src_chw, bot], axis=1)
 
@@ -195,26 +236,26 @@ def _pad_source(src_chw: Array, wrap: bool) -> Tuple[Array, int, int]:
     return x, h_pad, w_pad
 
 
-def _stack_blocks(padded: Array) -> Tuple[Array, int, int]:
+def _stack_blocks(padded: Array, rb: int = RB) -> Tuple[Array, int, int]:
     """(C, H_pad, W_pad) -> transposed overlapping blocks.
 
-    Returns (blocks (n_rp*n_cp, C, 2CB, 2RB), n_rp, n_cp) where block
-    (rb, cb) holds padded[:, rb*RB:(rb+2)*RB, cb*CB:(cb+2)*CB] transposed
+    Returns (blocks (n_rp*n_cp, C, 2CB, 2rb), n_rp, n_cp) where block
+    (br, bc) holds padded[:, br*rb:(br+2)*rb, bc*CB:(bc+2)*CB] transposed
     to (C, cols, rows). Built with the roll trick: two shifted reshapes
     concatenated — pure copies, XLA-fused.
     """
     c, h_pad, w_pad = padded.shape
-    n_r = h_pad // RB
+    n_r = h_pad // rb
     n_c = w_pad // CB
-    a = padded.reshape(c, n_r, RB, w_pad)
-    rows2 = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=2)  # (C, n_rp, 2RB, W)
+    a = padded.reshape(c, n_r, rb, w_pad)
+    rows2 = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=2)  # (C, n_rp, 2rb, W)
     n_rp = n_r - 1
-    b = rows2.reshape(c, n_rp, 2 * RB, n_c, CB)
+    b = rows2.reshape(c, n_rp, 2 * rb, n_c, CB)
     cols2 = jnp.concatenate([b[:, :, :, :-1, :], b[:, :, :, 1:, :]], axis=4)
     n_cp = n_c - 1
-    # (C, n_rp, 2RB, n_cp, 2CB) -> (n_rp, n_cp, C, 2CB, 2RB)
+    # (C, n_rp, 2rb, n_cp, 2CB) -> (n_rp, n_cp, C, 2CB, 2rb)
     blocks = jnp.transpose(cols2, (1, 3, 0, 4, 2))
-    return blocks.reshape(n_rp * n_cp, c, 2 * CB, 2 * RB), n_rp, n_cp
+    return blocks.reshape(n_rp * n_cp, c, 2 * CB, 2 * rb), n_rp, n_cp
 
 
 def _field_taps(
@@ -259,7 +300,7 @@ def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) ->
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-    n_groups, margin=MARGIN, row0=0,
+    n_groups, margin=MARGIN, row0=0, rb: int = RB,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
@@ -286,15 +327,15 @@ def _prepass(
     rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
     rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
 
-    rblk = jnp.clip((rmin - margin) // RB, 0, max(n_rp - 1, 0))
-    r_base = rblk * RB
+    rblk = jnp.clip((rmin - margin) // rb, 0, max(n_rp - 1, 0))
+    r_base = rblk * rb
     ok_r = jnp.logical_and(
-        rmax + margin + 1 - r_base <= 2 * RB, rmin - margin - r_base >= 0
+        rmax + margin + 1 - r_base <= 2 * rb, rmin - margin - r_base >= 0
     )
     # The kernel rolls each source column so the tile's first needed row
     # lands on sublane 0 and covers N_ACTIVE_GROUPS*8 rows with static
     # group slices — tiles with taller row spans fall back to XLA.
-    row_shift = jnp.clip(rmin - margin - r_base, 0, 2 * RB - 1)
+    row_shift = jnp.clip(rmin - margin - r_base, 0, 2 * rb - 1)
     ok_r = jnp.logical_and(
         ok_r, (rmax - rmin + 2 * margin + 1) <= n_groups * 8
     )
@@ -341,7 +382,7 @@ def _prepass(
 
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-    interp, wrap, has_rotation, tile_rows, n_groups,
+    interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -462,9 +503,9 @@ def _make_kernel(
                 colvs = jnp.concatenate(
                     [blk_ref[0, c, pl.ds(sub, 1), :] for c in range(c_ch)],
                     axis=0,
-                )  # (C, 2RB)
-                coltT = jnp.transpose(colvs, (1, 0))          # (2RB, C)
-                rolledT = pltpu.roll(coltT, 2 * RB - row_shift, 0)
+                )  # (C, 2rb)
+                coltT = jnp.transpose(colvs, (1, 0))          # (2rb, C)
+                rolledT = pltpu.roll(coltT, 2 * rb - row_shift, 0)
                 for c in range(c_ch):
                     rolled = rolledT[:, c:c + 1]
                     acc_c = []
@@ -501,6 +542,7 @@ def _remap_pallas_one(
     off_y: float,
     tile_rows: int = TR,
     n_groups: int = 0,
+    rb: int = RB,
     shared=None,
     row0=0,
     band_rows: int = 0,
@@ -518,7 +560,7 @@ def _remap_pallas_one(
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
-    n_groups = min(n_groups, _MAX_GROUPS)
+    n_groups = min(n_groups, _max_groups(rb))
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
@@ -530,21 +572,28 @@ def _remap_pallas_one(
 
     if shared is None:
         src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap)
-        n_rp = h_pad // RB - 1
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb)
+        n_rp = h_pad // rb - 1
         n_cp = w_pad // CB - 1
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
-            tile_rows, n_groups, row0=row0,
+            tile_rows, n_groups, row0=row0, rb=rb,
         )
     else:
         padded, scalars, bad = shared
     n_bad = jnp.sum(bad.astype(jnp.int32))
-    # Hybrid threshold: patching a tile costs ~XLA-gather on its pixels;
-    # beyond ~1/8 of the frame the full XLA path is cheaper.
-    max_bad = max(1, (n_ty * n_tx) // 8)
-    bad_ty, bad_tx = jnp.nonzero(bad, size=max_bad, fill_value=-1)
+    # Hybrid threshold: the patch samples bad tiles VECTORIZED in fixed
+    # chunks (cost scales with the actual bad count, one compiled chunk
+    # graph), so patching a fraction f of the frame costs ~f * full-XLA —
+    # profitable almost until f = 1. Cap at 45% of tiles, beyond which the
+    # kernel launch stops paying for itself.
+    n_tiles = n_ty * n_tx
+    patch_chunk = max(1, n_tiles // 32)
+    max_bad = max(1, int(n_tiles * 0.45))
+    n_chunks_cap = -(-max_bad // patch_chunk)
+    cap_padded = n_chunks_cap * patch_chunk
+    bad_ty, bad_tx = jnp.nonzero(bad, size=cap_padded, fill_value=-1)
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -563,19 +612,19 @@ def _remap_pallas_one(
 
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-        interp, wrap, has_rotation, tile_rows, n_groups,
+        interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
     )
 
     def pallas_branch(operands):
         padded_, rot_ = operands
-        blocks, _, _ = _stack_blocks(padded_)
+        blocks, _, _ = _stack_blocks(padded_, rb)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (1, c_ch, 2 * CB, 2 * RB),
+                    (1, c_ch, 2 * CB, 2 * rb),
                     lambda ty, tx, scalars_s: (scalars_s[ty, tx * 8], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -595,10 +644,12 @@ def _remap_pallas_one(
             interpret=_INTERPRET,
         )(scalars, rot_, blocks)
 
-        # Patch overflow tiles with exact XLA-sampled values (a fori over
-        # the padded bad-tile list; fill slots are no-ops). Boundary rings
-        # (fisheye FOV edges, poles) are a tiny fraction of tiles, so this
-        # keeps whole frames on the kernel path.
+        # Patch overflow tiles with exact XLA-sampled values. Sampling is
+        # VECTORIZED in fixed-size chunks over the bad-tile list (a
+        # sequential per-tile sample measured ~0.6 ms/tile, throttling
+        # fisheye<->equirect configs with hundreds of patched tiles to
+        # ~25 Mpix/s); cost scales with the actual bad count in steps of
+        # patch_chunk tiles, and zero-bad frames run zero chunk iterations.
         src_back = jnp.transpose(
             padded_[:, PAD:PAD + in_h, PAD:PAD + in_w], (1, 2, 0)
         )
@@ -606,17 +657,22 @@ def _remap_pallas_one(
         wrap_mode = wrap_mode_for_input(in_lens)
         from .. import sampling as sampling_mod
 
-        def patch_one(i, planar):
-            # nonzero() packs real hits first, so slots < n_bad are valid.
-            ty = bad_ty[i]
-            tx = bad_tx[i]
+        def sample_chunk(c, buf):
+            base = c * patch_chunk
+            ty = jnp.maximum(  # fill slots sample tile 0, never written
+                jax.lax.dynamic_slice(bad_ty, (base,), (patch_chunk,)), 0
+            )
+            tx = jnp.maximum(
+                jax.lax.dynamic_slice(bad_tx, (base,), (patch_chunk,)), 0
+            )
             rows = jnp.minimum(
-                row0 + ty * tile_rows
-                + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
+                row0 + ty[:, None, None] * tile_rows
+                + jax.lax.broadcasted_iota(jnp.int32, (1, tile_rows, TC), 1),
                 out_h - 1,
             )
             cols = jnp.minimum(
-                tx * TC + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
+                tx[:, None, None] * TC
+                + jax.lax.broadcasted_iota(jnp.int32, (1, tile_rows, TC), 2),
                 out_w - 1,
             )
             cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
@@ -629,15 +685,28 @@ def _remap_pallas_one(
                 in_lens, out_lens, in_h, in_w, cx, cy, rot_mat,
                 out_h, out_w, xp=jnp,
             )
-            tile_vals = sampling_mod.sample(src_back, sx, sy, interp, wrap_mode)
-            patch = jnp.transpose(tile_vals, (2, 0, 1))  # (C, tile_rows, TC)
+            vals = sampling_mod.sample(src_back, sx, sy, interp, wrap_mode)
+            patches = jnp.transpose(vals, (0, 3, 1, 2))  # (K, C, tr, TC)
+            return jax.lax.dynamic_update_slice(buf, patches, (base, 0, 0, 0))
+
+        n_patch = jnp.minimum(n_bad, max_bad)
+        patches_buf = jax.lax.fori_loop(
+            0,
+            -(-n_patch // patch_chunk),
+            sample_chunk,
+            jnp.zeros((cap_padded, c_ch, tile_rows, TC), jnp.float32),
+        )
+
+        def write_one(i, pl_):
+            # nonzero() packs real hits first: slots < n_bad valid.
+            patch = jax.lax.dynamic_slice(
+                patches_buf, (i, 0, 0, 0), (1, c_ch, tile_rows, TC)
+            )[0]
             return jax.lax.dynamic_update_slice(
-                planar, patch, (0, ty * tile_rows, tx * TC)
+                pl_, patch, (0, bad_ty[i] * tile_rows, bad_tx[i] * TC)
             )
 
-        out_planar = jax.lax.fori_loop(
-            0, jnp.minimum(n_bad, max_bad), patch_one, out_planar
-        )
+        out_planar = jax.lax.fori_loop(0, n_patch, write_one, out_planar)
         return jnp.transpose(out_planar[:, :band_rows, :out_w], (1, 2, 0))
 
     def xla_branch(operands):
@@ -694,15 +763,17 @@ def remap_pallas(
     reinhard: float = 1.0,
     tile_rows: int = TR,
     n_groups: int = 0,
+    rb: int = RB,
     row0=0,
     band_rows: int = 0,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
-    ``tile_rows`` (8 or 16): taller tiles amortize the per-scan-column
-    read/transpose/roll over more output rows but need the tile's source
-    row span to stay within the kernel's 3-group window — see
-    ``suggest_tiling`` for a safe choice.
+    ``tile_rows``/``n_groups``/``rb``: taller tiles amortize the per-scan-
+    column read/transpose/roll over more output rows but need the tile's
+    source row span to stay within the group window (n_groups*8 rows,
+    bounded by the 2*rb block height) — see ``suggest_tiling`` for a safe
+    choice.
     """
     from .. import color as color_ops
 
@@ -716,18 +787,18 @@ def remap_pallas(
         if n_groups <= 0:
             n_groups_eff = _active_groups(tile_rows)
         else:
-            n_groups_eff = min(n_groups, _MAX_GROUPS)
+            n_groups_eff = min(n_groups, _max_groups(rb))
         in_h, in_w = int(src.shape[0]), int(src.shape[1])
         wrap = wrap_mode_for_input(in_lens)
         n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
         n_tx = -(-out_w // TC)
         src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap)
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb)
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, 0.0, 0.0, interp, wrap, n_ty, n_tx,
-            h_pad // RB - 1, w_pad // CB - 1, tile_rows, n_groups_eff,
-            margin=MARGIN + 1, row0=row0,
+            h_pad // rb - 1, w_pad // CB - 1, tile_rows, n_groups_eff,
+            margin=MARGIN + 1, row0=row0, rb=rb,
         )
         shared = (padded, scalars, bad)
 
@@ -739,7 +810,7 @@ def remap_pallas(
                 in_lens=in_lens, out_lens=out_lens,
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
-                tile_rows=tile_rows, n_groups=n_groups,
+                tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                 shared=shared, row0=row0, band_rows=band_rows,
             )
             acc = out if acc is None else acc + out

@@ -34,6 +34,7 @@ from . import remap as remap_ops
         "reinhard",
         "tile_rows",
         "n_groups",
+        "rb",
     ),
 )
 def remap_tonemap(
@@ -50,6 +51,7 @@ def remap_tonemap(
     reinhard: float = 1.0,
     tile_rows: int = 8,
     n_groups: int = 0,
+    rb: int = 40,
 ) -> jax.Array:
     """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
     use_pallas = False
@@ -77,6 +79,7 @@ def remap_tonemap(
             reinhard=reinhard,
             tile_rows=tile_rows,
             n_groups=n_groups,
+            rb=rb,
         )
         return out
 

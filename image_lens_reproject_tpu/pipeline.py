@@ -173,7 +173,7 @@ def process_batch(
             from .ops import remap_fused
             from .ops.pallas import remap_kernel
 
-            tile_rows, n_groups = remap_kernel.suggest_tiling(
+            tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
                 opts.input_lens, opts.output_lens,
                 int(batch.shape[1]), int(batch.shape[2]),
                 opts.out_height, opts.out_width,
@@ -194,6 +194,7 @@ def process_batch(
                     reinhard=opts.reinhard,
                     tile_rows=tile_rows,
                     n_groups=n_groups,
+                    rb=rb,
                 )
                 for i in range(batch.shape[0])
             ]
