@@ -188,3 +188,62 @@ class TestKernelGolden:
         )
         err = np.abs(got - want)
         assert np.quantile(err, 0.999) < 1e-4
+
+    def test_tall_window_variant(self):
+        # rb > 40 admits the 100-200-row source spans of fisheye<->equirect
+        # polar arcs (tiles the default block rejects); residual overflow
+        # tiles are chunk-patched with exact XLA samples.
+        src = jnp.asarray(smooth(256, 256, 3, seed=9))
+        rot = jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0))
+        got = np.asarray(
+            RK.remap_pallas(
+                src, rot, in_lens=EQUISOLID, out_lens=EQUIRECT,
+                out_h=256, out_w=512, interp="bilinear", n_samples=1,
+                tile_rows=8, n_groups=20, rb=160,
+            )
+        )
+        want = np.asarray(
+            remap.remap_image(
+                src, rot, in_lens=EQUISOLID, out_lens=EQUIRECT,
+                out_h=256, out_w=512, interp="bilinear", n_samples=1,
+            )
+        )
+        err = np.abs(got - want)
+        assert np.quantile(err, 0.999) < 1e-4
+        assert (err.max(axis=-1) > 1e-3).mean() < 1e-3
+
+    def test_chunked_patch_heavy_overflow(self):
+        # rect -> equisolid: the out-of-FOV annulus overflows ~25% of tiles;
+        # they must be patched bit-exactly from the XLA sampler while the
+        # kernel handles the rest (4-channel RGBZ layout).
+        src = jnp.asarray(smooth(256, 256, 4, seed=10))
+        inl = Rectilinear(50.0, 36.0, 36.0)
+        got = np.asarray(
+            RK.remap_pallas(
+                src, None, in_lens=inl, out_lens=EQUISOLID,
+                out_h=256, out_w=256, interp="bilinear", n_samples=1,
+                tile_rows=8, n_groups=20, rb=160,
+            )
+        )
+        want = np.asarray(
+            remap.remap_image(
+                src, None, in_lens=inl, out_lens=EQUISOLID,
+                out_h=256, out_w=256, interp="bilinear", n_samples=1,
+            )
+        )
+        err = np.abs(got - want)
+        assert np.quantile(err, 0.999) < 1e-4
+
+    def test_suggest_tiling_tall_pick(self):
+        # The cost model must choose a tall window (rb > 40) for the
+        # equisolid -> equirect polar-arc config and the default block for
+        # the headline equirect -> rect config.
+        rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
+        tr, ng, rb = RK.suggest_tiling(
+            EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear"
+        )
+        assert rb > 40 and ng >= 10
+        tr, ng, rb = RK.suggest_tiling(
+            EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
+        )
+        assert rb == 40 and tr == 32
