@@ -86,14 +86,23 @@ def main() -> int:
     tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
         in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
     )
+    # The prepass depends only on the config; a frame stream computes it
+    # once (pipeline directory mode does the same via its plan cache).
+    scalars, bad = remap_fused.make_plan(
+        rot, in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
+        out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
+        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+    )
 
     @jax.jit
     def chain(src_, seed):
         # Perturb the input with a value derived from the previous output:
         # forces a true serial dependency across iterations.
-        return remap_fused.remap_tonemap(
+        return remap_fused.remap_tonemap_planned(
             src_ + seed * jnp.float32(1e-12),
             rot,
+            scalars,
+            bad,
             in_lens=in_lens,
             out_lens=out_lens,
             out_h=OUT_H,

@@ -96,3 +96,74 @@ def remap_tonemap(
     if exposure != 1.0 or reinhard != 1.0:
         out = color_ops.post_process(out, exposure, reinhard)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
+        "exposure", "reinhard", "tile_rows", "n_groups", "rb",
+    ),
+)
+def remap_tonemap_planned(
+    src: jax.Array,
+    rotation: Optional[jax.Array],
+    scalars: jax.Array,
+    bad: jax.Array,
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    exposure: float = 1.0,
+    reinhard: float = 1.0,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
+) -> jax.Array:
+    """remap_tonemap with a precomputed prepass (see make_plan).
+
+    The prepass depends only on the lens configuration, so a frame stream
+    (pipeline directory mode) computes it once — ~10% per-frame saving at
+    4K, more at smaller resolutions.
+    """
+    from .pallas import remap_kernel
+
+    return remap_kernel.remap_pallas(
+        src, rotation,
+        in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
+        interp=interp, n_samples=n_samples, exposure=exposure,
+        reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+        prepass=(scalars, bad),
+    )
+
+
+def make_plan(
+    rotation: Optional[jax.Array],
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    in_h: int,
+    in_w: int,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
+):
+    """Device-compute the reusable (scalars, bad) prepass for one config."""
+    from .pallas import remap_kernel
+
+    fn = jax.jit(
+        functools.partial(
+            remap_kernel.make_prepass,
+            in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
+            out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
+            tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+        )
+    )
+    return fn(rotation)

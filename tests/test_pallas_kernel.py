@@ -247,3 +247,18 @@ class TestKernelGolden:
             EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
         )
         assert rb == 40 and tr == 32
+
+    def test_planned_prepass_matches_inline(self):
+        # make_plan + remap_tonemap_planned must equal the unplanned call.
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(96, 192, 3, seed=11))
+        rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, -3.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=64, out_w=160,
+                  interp="bicubic", n_samples=2, tile_rows=8, n_groups=3, rb=40)
+        scalars, bad = remap_fused.make_plan(rot, in_h=96, in_w=192, **kw)
+        got = np.asarray(remap_fused.remap_tonemap_planned(
+            src, rot, scalars, bad, exposure=2.0, reinhard=4.0, **kw))
+        want = np.asarray(RK.remap_pallas(
+            src, rot, exposure=2.0, reinhard=4.0, **kw))
+        np.testing.assert_array_equal(got, want)
