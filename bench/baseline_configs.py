@@ -37,7 +37,7 @@ def time_device(fn, src, iters=20):
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    iters = 5 if quick else 20
+    iters = 20 if quick else 40
 
     import jax
     import jax.numpy as jnp
@@ -58,10 +58,17 @@ def main() -> int:
         tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
         )
+        # Planned prepass, as the pipeline does for a frame stream.
+        scalars, bad = remap_fused.make_plan(
+            rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
+            out_h=oh, out_w=ow, interp=interp, n_samples=1,
+            tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+        )
 
         def fn(s):
-            return remap_fused.remap_tonemap(
-                s, rot, in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
+            return remap_fused.remap_tonemap_planned(
+                s, rot, scalars, bad,
+                in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             )
