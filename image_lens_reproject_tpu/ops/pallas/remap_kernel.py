@@ -485,9 +485,27 @@ def _make_kernel(
 
         def body(i, accs):
             out = accs
+            # One transpose + one roll for the whole unroll step: stack the
+            # SCAN_UNROLL x C column reads on the minor axis first (the roll
+            # shift is per-tile, identical for every column). NOTE: dynamic
+            # NEGATIVE roll shifts are miscompiled on real TPUs (correct in
+            # interpret mode); use the positive equivalent.
+            subs = [
+                jnp.clip(c_start + i * SCAN_UNROLL + u - c_base, 0, 2 * CB - 1)
+                for u in range(SCAN_UNROLL)
+            ]
+            colvs = jnp.concatenate(
+                [
+                    blk_ref[0, c, pl.ds(subs[u], 1), :]
+                    for u in range(SCAN_UNROLL)
+                    for c in range(c_ch)
+                ],
+                axis=0,
+            )  # (SCAN_UNROLL * C, 2rb)
+            coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SCAN_UNROLL * C)
+            rolledT = pltpu.roll(coltT, 2 * rb - row_shift, 0)
             for u in range(SCAN_UNROLL):
                 k = i * SCAN_UNROLL + u
-                sub = jnp.clip(c_start + k - c_base, 0, 2 * CB - 1)
                 colw = [
                     sum(
                         jnp.where(x_key_h[m][h] == k, xw_h[m][h], 0.0)
@@ -496,18 +514,8 @@ def _make_kernel(
                     for h in range(n_sub)
                 ]
                 nxt = []
-                # One transpose+roll for all channels: stack the per-channel
-                # column reads to (C, 2RB) first. NOTE: dynamic NEGATIVE
-                # roll shifts are miscompiled on real TPUs (correct in
-                # interpret mode); use the positive equivalent.
-                colvs = jnp.concatenate(
-                    [blk_ref[0, c, pl.ds(sub, 1), :] for c in range(c_ch)],
-                    axis=0,
-                )  # (C, 2rb)
-                coltT = jnp.transpose(colvs, (1, 0))          # (2rb, C)
-                rolledT = pltpu.roll(coltT, 2 * rb - row_shift, 0)
                 for c in range(c_ch):
-                    rolled = rolledT[:, c:c + 1]
+                    rolled = rolledT[:, u * c_ch + c:u * c_ch + c + 1]
                     acc_c = []
                     for h in range(n_sub):
                         rowv = jnp.zeros((8, TC), jnp.float32)
