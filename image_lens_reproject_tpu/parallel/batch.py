@@ -42,6 +42,9 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "n_samples",
         "exposure",
         "reinhard",
+        "tile_rows",
+        "n_groups",
+        "rb",
     ),
 )
 def sharded_remap_step(
@@ -57,6 +60,9 @@ def sharded_remap_step(
     n_samples: int = 1,
     exposure: float = 1.0,
     reinhard: float = 1.0,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
@@ -97,6 +103,9 @@ def sharded_remap_step(
                     n_samples=n_samples,
                     exposure=exposure,
                     reinhard=reinhard,
+                    tile_rows=tile_rows,
+                    n_groups=n_groups,
+                    rb=rb,
                     row0=row0,
                     band_rows=band,
                 )

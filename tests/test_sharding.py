@@ -147,3 +147,33 @@ def test_mesh_validation():
             mesh=mesh, in_lens=EQUIRECT, out_lens=RECT,
             out_h=30, out_w=8, interp="nearest", n_samples=1,
         )
+
+
+def test_sharded_tall_window_equisolid():
+    # Row-band sharding combined with the tall-window kernel (rb > 40) and
+    # chunked patching: equisolid -> equirect polar arcs under shard_map.
+    from image_lens_reproject_tpu.models.lens import FisheyeEquisolid
+
+    mesh = pmesh.make_mesh(batch=2, rows=4)
+    es = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    src = smooth_batch(2, 64, 64, 3, seed=5)
+    rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
+
+    sharded_src = pbatch.shard_batch(jnp.asarray(src), mesh)
+    got = np.asarray(
+        pbatch.sharded_remap_step(
+            sharded_src, jnp.asarray(rot), mesh=mesh,
+            in_lens=es, out_lens=EQUIRECT, out_h=32, out_w=128,
+            interp="bilinear", n_samples=1,
+            tile_rows=8, n_groups=10, rb=80,
+        )
+    )
+    want = np.asarray(
+        remap.remap_batch_jit(
+            jnp.asarray(src), jnp.asarray(rot),
+            in_lens=es, out_lens=EQUIRECT, out_h=32, out_w=128,
+            interp="bilinear", n_samples=1,
+        )
+    )
+    err = np.abs(got - want)
+    assert np.quantile(err, 0.999) < 1e-4
