@@ -240,3 +240,81 @@ class TestPostProcess:
         v = 0.5
         want = v * (1 + v) / (1 + v)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPartialEquirect:
+    """Arbitrary lat/long segments (clamp mode — not full-360, no wrap)."""
+
+    PART = __import__(
+        "image_lens_reproject_tpu.models.lens", fromlist=["Equirectangular"]
+    ).Equirectangular(
+        longitude_min=-1.2, longitude_max=0.8,
+        latitude_min=-0.6, latitude_max=0.9,
+    )
+
+    @pytest.mark.parametrize("interp", ["nearest", "bilinear", "bicubic"])
+    def test_partial_input_matches_oracle(self, interp):
+        src = smooth_image(48, 96, 3, seed=21)
+        kw = dict(in_lens=self.PART, out_lens=Rectilinear(35.0, 36.0, 27.0),
+                  out_h=40, out_w=72, interp=interp, n_samples=1)
+        got = np.asarray(remap.remap_jit(jnp.asarray(src), None, **kw))
+        want = oracle.oracle_remap(src, None, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_partial_output_matches_oracle(self):
+        src = smooth_image(48, 96, 3, seed=22)
+        kw = dict(in_lens=full_equirectangular(), out_lens=self.PART,
+                  out_h=40, out_w=72, interp="bilinear", n_samples=1)
+        rot = rotation_matrix_degrees(10.0, 5.0, 0.0)
+        got = np.asarray(remap.remap_jit(jnp.asarray(src), jnp.asarray(rot), **kw))
+        want = oracle.oracle_remap(src, rot, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+class TestRoundTrip:
+    """A->B->A ~= identity away from poles/FOV edges (SURVEY.md §4 item 3)."""
+
+    def test_equirect_rect_equirect(self):
+        # Central rectilinear view covers the central equirect region; check
+        # the region that stays inside the intermediate view's FOV.
+        eq = full_equirectangular()
+        rect = Rectilinear(18.0, 36.0, 27.0)  # wide FOV (~90 deg)
+        src = smooth_image(64, 128, 3, seed=23)
+        mid = remap.remap_jit(
+            jnp.asarray(src), None, in_lens=eq, out_lens=rect,
+            out_h=192, out_w=256, interp="bilinear", n_samples=1,
+        )
+        back = np.asarray(remap.remap_jit(
+            mid, None, in_lens=rect, out_lens=eq,
+            out_h=64, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        # central crop: ~±30 deg of the forward axis
+        region = (slice(26, 38), slice(54, 74))
+        err = np.abs(back[region] - src[region])
+        assert err.max() < 0.02, err.max()
+
+    def test_equidist_equirect_equidist_mirrors(self):
+        # Reference quirk (SURVEY.md §2.1): the equidistant forward ray
+        # points BACKWARD (+cos theta, src/reproject.cpp:171-206) and the
+        # inverse divides by -z unguarded, so vec_to(target_to_vec(p)) = -p
+        # — a fisheye round trip returns the POINT-REFLECTED image. Pin it.
+        ed = FisheyeEquidistant(math.pi, 36.0, 36.0)
+        eq = full_equirectangular()
+        src = smooth_image(96, 96, 3, seed=24)
+        mid = remap.remap_jit(
+            jnp.asarray(src), None, in_lens=ed, out_lens=eq,
+            out_h=256, out_w=512, interp="bilinear", n_samples=1,
+        )
+        back = np.asarray(remap.remap_jit(
+            mid, None, in_lens=eq, out_lens=ed,
+            out_h=96, out_w=96, interp="bilinear", n_samples=1,
+        ))
+        # Small central disc: a second reference quirk (the equirect
+        # forward ray's missing cos(lat) only partially compensated by the
+        # asin inverse) warps the round trip increasingly off-axis, so only
+        # the near-axis region returns cleanly (err ~0.10 at theta=45 deg).
+        yy, xx = np.mgrid[0:96, 0:96]
+        disc = (xx - 47.5) ** 2 + (yy - 47.5) ** 2 < 12 ** 2
+        mirrored = src[::-1, ::-1]  # point reflection through the center
+        err = np.abs(back - mirrored).max(axis=-1)
+        assert err[disc].max() < 0.02, err[disc].max()
