@@ -23,6 +23,7 @@ from .models.lens import (
     Equirectangular,
     FisheyeEquidistant,
     FisheyeEquisolid,
+    FisheyeStereographic,
     LensSpec,
     LensType,
     Rectilinear,
@@ -31,6 +32,7 @@ from .models.lens import (
 from .models.rotation import rotation_matrix, rotation_matrix_degrees
 from .ops.color import post_process, post_process_jit
 from .ops.remap import remap_batch_jit, remap_image, remap_jit
+from .ops.remap_fused import make_plan, remap_tonemap, remap_tonemap_planned
 
 __version__ = "0.1.0"
 
@@ -38,6 +40,7 @@ __all__ = [
     "Equirectangular",
     "FisheyeEquidistant",
     "FisheyeEquisolid",
+    "FisheyeStereographic",
     "LensSpec",
     "LensType",
     "Rectilinear",
@@ -49,4 +52,7 @@ __all__ = [
     "remap_batch_jit",
     "remap_image",
     "remap_jit",
+    "make_plan",
+    "remap_tonemap",
+    "remap_tonemap_planned",
 ]
