@@ -181,6 +181,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("TPU runtime (framework extensions)")
     g.add_argument("--batch-size", type=int, default=1, metavar="N", help="Images per device dispatch.")
+    g.add_argument("--mesh", metavar="B,R|auto", help="Shard each batch over a (batch x rows) device mesh; 'auto' = all devices on the batch axis.")
     g.add_argument("--trace-dir", metavar="dir", help="Write a JAX profiler trace here.")
     g.add_argument("--pure-xla", action="store_true", help="Disable the Pallas fast path.")
     g.add_argument("--json-log", action="store_true", help="Machine-readable JSON progress lines.")
@@ -354,6 +355,7 @@ def _run(args) -> int:
         num_threads=args.parallel,
         batch_size=args.batch_size,
         json_log=args.json_log,
+        mesh=args.mesh,
     )
 
     if args.input_dir:

@@ -62,6 +62,10 @@ class PipelineOptions:
     batch_size: int = 1  # images per device dispatch (framework extension)
     json_log: bool = False  # machine-readable progress lines (extension)
     device: object = None  # jax.Device or None for default
+    # Multi-chip data parallelism (framework extension): "b,r" mesh shape
+    # (batch x rows axes) or "auto" to use every visible device on the
+    # batch axis when more than one is present; None disables.
+    mesh: Optional[str] = None
 
 
 def discover_files(
@@ -149,6 +153,36 @@ def _outputs_exist(opts: PipelineOptions, out_png: Path, out_exr: Path) -> bool:
     return exists
 
 
+def _resolve_mesh(opts: PipelineOptions, in_h: int):
+    """Parse opts.mesh -> (batch_axis, rows_axis) or None.
+
+    "auto" uses every visible device on the batch axis when >1 is present.
+    Invalid shapes (more devices than present, indivisible row bands) fall
+    back to single-device dispatch with a warning — never an error.
+    """
+    if not opts.mesh:
+        return None
+    import jax
+
+    n_dev = len(jax.devices())
+    if opts.mesh == "auto":
+        return (n_dev, 1) if n_dev > 1 else None
+    try:
+        b_ax, r_ax = (int(x) for x in opts.mesh.split(","))
+    except ValueError:
+        print(f"Warning: bad --mesh '{opts.mesh}', expected B,R or auto")
+        return None
+    if b_ax * r_ax > n_dev or b_ax < 1 or r_ax < 1:
+        print(f"Warning: --mesh {b_ax}x{r_ax} needs {b_ax * r_ax} devices, "
+              f"have {n_dev}; using single-device dispatch")
+        return None
+    if opts.out_height % r_ax != 0 or in_h % r_ax != 0:
+        print(f"Warning: --mesh rows={r_ax} does not divide heights "
+              f"({in_h}, {opts.out_height}); using single-device dispatch")
+        return None
+    return b_ax, r_ax
+
+
 # (input shape, config) -> (tile_rows, n_groups, rb, scalars, bad): the
 # Pallas prepass reused across every frame of a directory run (see
 # process_batch). Bounded by the number of distinct configs in a process.
@@ -173,6 +207,48 @@ def process_batch(
                 out = color.post_process_jit(
                     out, exposure=opts.exposure, reinhard=opts.reinhard
                 )
+        elif (mesh_shape := _resolve_mesh(opts, int(batch.shape[1]))) is not None:
+            # Multi-chip: shard the batch (and optionally output row bands)
+            # over the device mesh; sharded_remap_step all-gathers source
+            # bands over ICI and runs the banded kernel per device.
+            from .ops.pallas import remap_kernel
+            from .parallel import batch as pbatch
+            from .parallel import mesh as pmesh
+
+            b_ax, r_ax = mesh_shape
+            dmesh = pmesh.make_mesh(
+                devices=jax.devices()[: b_ax * r_ax], batch=b_ax, rows=r_ax
+            )
+            tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
+                opts.input_lens, opts.output_lens,
+                int(batch.shape[1]), int(batch.shape[2]),
+                opts.out_height, opts.out_width,
+                opts.rotation, opts.interp,
+                channels=int(batch.shape[3]),
+            )
+            n_real = batch.shape[0]
+            pad = (-n_real) % b_ax
+            if pad:
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[-1:], pad, axis=0)]
+                )
+            sharded = pbatch.shard_batch(batch, dmesh)
+            out = pbatch.sharded_remap_step(
+                sharded,
+                rot,
+                mesh=dmesh,
+                in_lens=opts.input_lens,
+                out_lens=opts.output_lens,
+                out_h=opts.out_height,
+                out_w=opts.out_width,
+                interp=opts.interp,
+                n_samples=opts.n_samples,
+                exposure=opts.exposure,
+                reinhard=opts.reinhard,
+                tile_rows=tile_rows,
+                n_groups=n_groups,
+                rb=rb,
+            )[:n_real]
         elif jax.default_backend() == "tpu":
             # TPU: per-image fused remap+tonemap (Pallas kernel path with
             # XLA fallback); dispatches are async so the batch pipelines.

@@ -119,3 +119,45 @@ def test_distributed_helpers_single_host():
     mesh = distributed.global_mesh(rows=2)
     assert mesh.shape["rows"] == 2
     assert distributed.local_batch_slice(8) == slice(0, 8)
+
+
+def test_process_batch_mesh_matches_single(tmp_path):
+    # --mesh sharding must produce the same pixels as single-device
+    # dispatch, including batch padding for non-divisible batch sizes.
+    import jax
+    import numpy as np
+    from image_lens_reproject_tpu import pipeline as pl
+    from image_lens_reproject_tpu.models.lens import Rectilinear, full_equirectangular
+
+    imgs = [
+        np.random.default_rng(s).random((32, 64, 3)).astype(np.float32)
+        for s in range(3)  # 3 images, mesh batch axis 2 -> padding path
+    ]
+    base = dict(
+        input_lens=full_equirectangular(),
+        output_lens=Rectilinear(35.0, 36.0, 27.0),
+        out_width=64, out_height=32, interp="bilinear",
+    )
+    single = pl.process_batch(imgs, pl.PipelineOptions(**base))
+    meshed = pl.process_batch(imgs, pl.PipelineOptions(**base, mesh="2,2"))
+    assert len(meshed) == 3
+    for a, b in zip(single, meshed):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_mesh_resolve_fallbacks():
+    from image_lens_reproject_tpu import pipeline as pl
+    from image_lens_reproject_tpu.models.lens import Rectilinear, full_equirectangular
+
+    base = dict(
+        input_lens=full_equirectangular(),
+        output_lens=Rectilinear(35.0, 36.0, 27.0),
+        out_width=64, out_height=30, interp="bilinear",
+    )
+    # rows axis not dividing out_h -> fallback
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 32) is None
+    # more devices than visible -> fallback
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="64,1"), 32) is None
+    # auto on the 8-device CPU mesh
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="auto"), 32) == (8, 1)
+    assert pl._resolve_mesh(pl.PipelineOptions(**base), 32) is None
