@@ -262,3 +262,17 @@ class TestKernelGolden:
         want = np.asarray(RK.remap_pallas(
             src, rot, exposure=2.0, reinhard=4.0, **kw))
         np.testing.assert_array_equal(got, want)
+
+    def test_planned_prepass_matches_inline_nonwrap(self):
+        # make_prepass mirrors _pad_source's shape arithmetic; pin the
+        # clamp-mode (non-wrap input) branch too.
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(96, 96, 3, seed=12))
+        kw = dict(in_lens=EQUIDIST, out_lens=RECT, out_h=64, out_w=128,
+                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=3, rb=40)
+        scalars, bad = remap_fused.make_plan(None, in_h=96, in_w=96, **kw)
+        got = np.asarray(remap_fused.remap_tonemap_planned(
+            src, None, scalars, bad, **kw))
+        want = np.asarray(RK.remap_pallas(src, None, **kw))
+        np.testing.assert_array_equal(got, want)
