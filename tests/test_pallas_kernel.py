@@ -276,3 +276,34 @@ class TestKernelGolden:
             src, None, scalars, bad, **kw))
         want = np.asarray(RK.remap_pallas(src, None, **kw))
         np.testing.assert_array_equal(got, want)
+
+    def test_partial_equirect_segment(self):
+        # Partial lat/long segments (clamp mode, no wrap) through the
+        # kernel path — only the XLA path was covered before.
+        from image_lens_reproject_tpu.models.lens import Equirectangular
+
+        part = Equirectangular(
+            longitude_min=-1.2, longitude_max=0.8,
+            latitude_min=-0.6, latitude_max=0.9,
+        )
+        src = jnp.asarray(smooth(96, 192, 3, seed=13))
+        got = np.asarray(RK.remap_pallas(
+            src, None, in_lens=part, out_lens=RECT,
+            out_h=64, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        want = np.asarray(remap.remap_image(
+            src, None, in_lens=part, out_lens=RECT,
+            out_h=64, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        err = np.abs(got - want)
+        assert np.quantile(err, 0.999) < 1e-4
+        # and as the OUTPUT lens
+        got2 = np.asarray(RK.remap_pallas(
+            src, None, in_lens=EQUIRECT, out_lens=part,
+            out_h=64, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        want2 = np.asarray(remap.remap_image(
+            src, None, in_lens=EQUIRECT, out_lens=part,
+            out_h=64, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        assert np.quantile(np.abs(got2 - want2), 0.999) < 1e-4
