@@ -56,8 +56,16 @@ def extract_lens_info_from_config(cfg: Dict[str, Any]) -> LensSpec:
                 sensor_height=sensor_height,
             )
         if pano_type == "FISHEYE_EQUISOLID":
+            # The reference code reads "fisheye_lens" (src/config.cpp:26)
+            # but its own README template documents the key as "lens"
+            # (README.md equisolid example) — that template would crash
+            # the reference. Accept both, code-key first.
+            if "fisheye_lens" in camera_cfg:
+                focal = float(camera_cfg["fisheye_lens"])
+            else:
+                focal = float(camera_cfg["lens"])
             return FisheyeEquisolid(
-                focal_length=float(camera_cfg["fisheye_lens"]),
+                focal_length=focal,
                 fov=float(camera_cfg["fisheye_fov"]),
                 sensor_width=sensor_width,
                 sensor_height=sensor_height,

@@ -139,3 +139,28 @@ class TestSaveLoad:
         with open(path) as f:
             text = f.read()
         assert text == json.dumps(cfg, indent=2)  # dump(2) parity
+
+
+def test_equisolid_readme_lens_key():
+    # The reference README's equisolid template uses "lens" while the code
+    # reads "fisheye_lens" (src/config.cpp:26 vs README.md) — accept both.
+    import math
+    from image_lens_reproject_tpu.utils.config import extract_lens_info_from_config
+    from image_lens_reproject_tpu.models.lens import FisheyeEquisolid
+
+    cfg = {
+        "camera": {
+            "type": "PANO",
+            "panorama_type": "FISHEYE_EQUISOLID",
+            "lens": 12.5,
+            "fisheye_fov": 3.1415927410125732,
+        },
+        "resolution": [256, 256],
+        "sensor_size": [36.0, 36.0],
+    }
+    lens = extract_lens_info_from_config(cfg)
+    assert isinstance(lens, FisheyeEquisolid)
+    assert lens.focal_length == 12.5
+    # code key wins when both present
+    cfg["camera"]["fisheye_lens"] = 15.0
+    assert extract_lens_info_from_config(cfg).focal_length == 15.0
