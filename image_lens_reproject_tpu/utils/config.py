@@ -80,7 +80,14 @@ def extract_lens_info_from_config(cfg: Dict[str, Any]) -> LensSpec:
                 sensor_width=sensor_width,
                 sensor_height=sensor_height,
             )
-        if pano_type == "EQUIRECTANGULAR":
+        if pano_type == "EQUIRECTANGULAR" or (
+            # Gap-fix: the store quirk labels equirect output
+            # panorama_type "RECTILINEAR" (src/config.cpp:98); the
+            # reference cannot re-read its own output (uninitialized
+            # LensInfo, UB). Accept it when the lat/long keys identify it,
+            # so chained reprojections work.
+            pano_type == "RECTILINEAR" and "longitude_min" in camera_cfg
+        ):
             return Equirectangular(
                 latitude_min=float(camera_cfg["latitude_min"]),
                 latitude_max=float(camera_cfg["latitude_max"]),

@@ -164,3 +164,24 @@ def test_equisolid_readme_lens_key():
     # code key wins when both present
     cfg["camera"]["fisheye_lens"] = 15.0
     assert extract_lens_info_from_config(cfg).focal_length == 15.0
+
+
+def test_equirect_store_quirk_roundtrips():
+    # Our store replicates the reference quirk (panorama_type "RECTILINEAR"
+    # for equirect, src/config.cpp:98); unlike the reference — which cannot
+    # re-read its own output — our extractor accepts it via the lat/long
+    # keys, so chained reprojections work.
+    import math
+    from image_lens_reproject_tpu.utils.config import (
+        extract_lens_info_from_config, store_lens_info_in_config,
+    )
+    from image_lens_reproject_tpu.models.lens import Equirectangular
+
+    lens = Equirectangular(-math.pi, math.pi, -1.0, 1.0)
+    cfg = {"resolution": [64, 32], "sensor_size": [0.0, 0.0]}
+    store_lens_info_in_config(lens, cfg)
+    assert cfg["camera"]["panorama_type"] == "RECTILINEAR"  # the quirk
+    back = extract_lens_info_from_config(cfg)
+    assert isinstance(back, Equirectangular)
+    assert back.longitude_min == lens.longitude_min
+    assert back.latitude_max == lens.latitude_max
