@@ -156,27 +156,45 @@ def suggest_tiling(
         cx = (cols + np.float32(0.5)) - np.float32(out_w * 0.5)
         cy = (rows + np.float32(0.5)) - np.float32(out_h * 0.5)
         rot = None if rotation_np is None else np.asarray(rotation_np, np.float32)
-        _, sy = remap_ops.source_coords(
+        sx, sy = remap_ops.source_coords(
             in_lens, out_lens, in_h, in_w, cx[None, :], cy[:, None],
             rot, out_h, out_w, xp=np,
         )
         sy = np.clip(np.broadcast_to(sy, (rows.size, cols.size)), -4.0, in_h + 4.0)
+        wrap = wrap_mode_for_input(in_lens)
+        sx = np.broadcast_to(sx, (rows.size, cols.size))
+        if wrap:
+            sx = np.mod(sx, np.float32(in_w))
+        sx = np.clip(sx, -4.0, in_w + 4.0)
         band = 16 // 2  # rows sampled every 2 -> 8 samples per 16-row band
         n_bands = max(1, rows.size // band)
         cchunk = max(1, -(-TC // step))  # samples per 128-col tile
         n_cchunks = max(1, cols.size // cchunk)
         spans = np.empty((n_bands, n_cchunks), np.float32)
+        cspans = np.empty((n_bands, n_cchunks), np.float32)
         for b in range(n_bands):
             chunk = sy[b * band:(b + 1) * band]
+            cchnk = sx[b * band:(b + 1) * band]
             for cc in range(n_cchunks):
                 # +1 sample overlap: tiles straddle chunk boundaries
                 seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
                 spans[b, cc] = seg.max() - seg.min()
+                cseg = cchnk[:, cc * cchunk:(cc + 1) * cchunk + 1]
+                cspan = cseg.max() - cseg.min()
+                if wrap and cspan > in_w / 2:
+                    # seam tiles: emulate the prepass monotonize (taps below
+                    # W/2 get +W) before measuring the column window
+                    cadj = np.where(cseg < in_w / 2, cseg + in_w, cseg)
+                    cspan = cadj.max() - cadj.min()
+                cspans[b, cc] = cspan
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
 
         def frac_over(tr, ng):
             scaled = spans * (tr / 16.0) + taps + 2 * MARGIN + 2
-            return float((scaled > ng * 8).mean())
+            # Column windows must fit the (fixed) 2*CB block after CB
+            # quantization: guaranteed budget is CB columns.
+            col_over = cspans + taps + 2 * MARGIN + 2 > CB
+            return float(((scaled > ng * 8) | col_over).mean())
 
         # Pick the candidate minimizing modeled per-pixel cost: overflow
         # tiles are patched at ~XLA-gather cost, fitting tiles pay the scan
@@ -186,7 +204,7 @@ def suggest_tiling(
         best = None
         for tr, ng, rb in _TILING_CANDIDATES:
             f = frac_over(tr, ng)
-            if f > 0.42:
+            if f > 0.55:  # sampled estimate; runtime patch cap is 60%
                 continue
             grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
             kern = (_KERNEL_BASE_NS + grp_ns * ng * taps) / tr
@@ -594,11 +612,12 @@ def _remap_pallas_one(
     # Hybrid threshold: the patch samples bad tiles VECTORIZED in fixed
     # chunks (cost scales with the actual bad count, one compiled chunk
     # graph), so patching a fraction f of the frame costs ~f * full-XLA —
-    # profitable almost until f = 1. Cap at 45% of tiles, beyond which the
-    # kernel launch stops paying for itself.
+    # break-even vs the full XLA path sits near f ~ 0.9 (the kernel's
+    # share is cheap). Cap at 60%: beyond that, measured configs are
+    # degenerate everywhere and full XLA avoids the kernel+patch overhead.
     n_tiles = n_ty * n_tx
     patch_chunk = max(1, n_tiles // 32)
-    max_bad = max(1, int(n_tiles * 0.45))
+    max_bad = max(1, int(n_tiles * 0.60))
     n_chunks_cap = -(-max_bad // patch_chunk)
     cap_padded = n_chunks_cap * patch_chunk
     bad_ty, bad_tx = jnp.nonzero(bad, size=cap_padded, fill_value=-1)
