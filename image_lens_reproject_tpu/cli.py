@@ -15,6 +15,9 @@ same mutual-exclusion validation, same error strings where they matter:
 
 Framework extensions (not in the reference, clearly marked in --help):
   --batch-size N    images per device dispatch
+  --mesh B,R|auto   shard each batch over a (batch x rows) device mesh
+  --i-stereographic / --stereographic   stereographic fisheye lens
+  --json-log        machine-readable JSON progress lines
   --trace-dir DIR   write a JAX profiler trace (Tracy-zone analog)
   --pure-xla        disable the Pallas fast path (debugging)
 """
