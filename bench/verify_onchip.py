@@ -61,20 +61,24 @@ def main() -> int:
         ("equisolid->equirect rot tall", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 8, 20, 160),
         ("rect->equisolid tall (annulus)", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 8, 20, 160),
     ]
+    # (name, ..., n_samples): supersampling shares blocks + a margin+1
+    # prepass across the stratified offsets — verify that path on-chip too.
+    ns_for = {"equirect->rect bicubic rot 512 T16": 3}
 
     failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
+        ns = ns_for.get(name, 1)
         src = smooth(ih, iw, 3, seed=hash(name) % 1000)
         rj = None if r is None else jnp.asarray(r)
         out = RK.remap_pallas(
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,
-            out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=trows,
+            out_h=oh, out_w=ow, interp=interp, n_samples=ns, tile_rows=trows,
             n_groups=ng, rb=rb,
         )
         got = np.asarray(out)
         want = oracle.oracle_remap(
             src, r, in_lens=il, out_lens=ol,
-            out_h=oh, out_w=ow, interp=interp, n_samples=1,
+            out_h=oh, out_w=ow, interp=interp, n_samples=ns,
         )
         err = np.abs(got - want)
         p999 = float(np.quantile(err, 0.999))
