@@ -270,20 +270,30 @@ def _run(args) -> int:
             "Choose --png or --exr. (both are possible)."
         )
 
-    # Interpolation (src/main.cpp:359-376): default bicubic.
+    # Interpolation (src/main.cpp:359-376): default bicubic. On conflicting
+    # flags the reference prints the error + help but CONTINUES with the
+    # last flag it processed (nn -> bl -> bc order) — match that verbatim.
     n_interp = sum([args.nn, args.bl, args.bc])
     if n_interp > 1:
-        raise CliError("Cannot specify more than one interpolation method.")
-    interp = "bicubic"
-    if args.nn:
-        interp = "nearest"
-    elif args.bl:
+        print("Cannot specify more than one interpolation method.\n")
+        build_parser().print_help()
+    interp = "nearest" if args.nn else "bicubic"
+    if args.bl:
         interp = "bilinear"
+    if args.bc:
+        interp = "bicubic"
 
     # Output resolution: --output-resolution > --scale (src/main.cpp:297-310).
+    # The reference's `scale` stays 0.0 whenever --output-resolution is
+    # given (only the else-branch reads the flag, main.cpp:308-310), so the
+    # --no-reproject plain-copy fast path (scale==1.0) never fires then and
+    # the image is resampled to the requested W,H.
     ores_x = ores_y = 0
+    scale = 0.0
     if args.output_resolution:
         ores_x, ores_y = _parse_wh(args.output_resolution, "output-resolution")
+    else:
+        scale = args.scale
 
     rotation = parse_rotation(args.rotation)
     if is_identity(rotation):
@@ -310,8 +320,8 @@ def _run(args) -> int:
         input_lens = config_mod.extract_lens_info_from_config(cfg)
 
     if ores_x == 0 and ores_y == 0:
-        ores_x = int(ires_x * args.scale)
-        ores_y = int(ires_y * args.scale)
+        ores_x = int(ires_x * scale)
+        ores_y = int(ires_y * scale)
 
     output_lens = _resolve_output_lens(args, ores_x, ores_y, input_lens)
 
@@ -354,7 +364,7 @@ def _run(args) -> int:
         store_exr=args.exr,
         skip_if_exists=args.skip_if_exists,
         do_reproject=not args.no_reproject,
-        scale=args.scale,
+        scale=scale,
         num_threads=args.parallel,
         batch_size=args.batch_size,
         json_log=args.json_log,

@@ -213,10 +213,20 @@ def read_exr_channels(path: str) -> Tuple[Dict[str, np.ndarray], List[str]]:
     chans = {name: np.empty((h, w), dtype=np.float32) for name, _ in hdr.channels}
 
     for bi, boff in enumerate(offsets):
+        if boff + 8 > len(buf):
+            raise ValueError(f"EXR block {bi}: offset {boff} outside file")
         y, size = struct.unpack_from("<iI", buf, boff)
+        if boff + 8 + size > len(buf):
+            raise ValueError(f"EXR block {bi}: payload overruns file")
+        # The block header is untrusted; an out-of-window y would index
+        # rows outside the destination buffers.
+        if y < ymin or y >= ymin + h:
+            raise ValueError(f"EXR block {bi}: scanline y={y} outside data window")
         data = buf[boff + 8 : boff + 8 + size]
         block_lines = min(lines_per_block, ymin + h - y)
         raw_size = bytes_per_line * block_lines
+        if (hdr.compression == _COMP_NONE or size == raw_size) and size < raw_size:
+            raise ValueError(f"EXR block {bi}: short payload")
         if hdr.compression == _COMP_NONE or size == raw_size:
             raw = np.frombuffer(data, dtype=np.uint8)
         else:

@@ -138,9 +138,13 @@ int decode_one_block(const uint8_t* file_data, uint64_t block_off,
   std::memcpy(&y, file_data + block_off, 4);
   std::memcpy(&size, file_data + block_off + 4, 4);
   if (block_off + 8 + size > file_size) return -2;
+  // The per-block scanline header is untrusted input: a corrupt/malicious
+  // offset table or block header must not drive out-of-bounds writes.
+  if (y < ymin || y >= ymin + height) return -2;
   const uint8_t* payload = file_data + block_off + 8;
 
   int block_lines = std::min(lines_per_block, ymin + height - y);
+  if (block_lines <= 0) return -2;
   size_t bytes_per_line = 0;
   for (int c = 0; c < n_channels; ++c) {
     bytes_per_line += (chans[c].pixel_type == 1 ? 2 : 4) * (size_t)width;
@@ -149,6 +153,7 @@ int decode_one_block(const uint8_t* file_data, uint64_t block_off,
 
   std::vector<uint8_t> raw(raw_size);
   if (compression == 0 || size == raw_size) {
+    if ((size_t)size < raw_size) return -2;  // short payload: don't overread
     std::memcpy(raw.data(), payload, raw_size);
   } else {
     uLongf dlen = (uLongf)raw_size;

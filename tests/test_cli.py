@@ -42,10 +42,31 @@ class TestArgValidation:
         assert rc == 1
         assert "Did not specify any output format" in capsys.readouterr().out
 
-    def test_two_interps(self, capsys, tmp_path):
-        rc = cli.main(["--single", "a.png", "-o", "/tmp/x", "--png", "--nn", "--bl"])
-        assert rc == 1
+    def test_two_interps_prints_help_but_continues(self, capsys, tmp_path):
+        # The reference prints the error + help and CONTINUES with the last
+        # interpolation flag it processed (src/main.cpp:373-376 has no exit).
+        make_fisheye_png(tmp_path / "in.png", size=16)
+        out_dir = tmp_path / "out"
+        rc = cli.main([
+            "--single", str(tmp_path / "in.png"), "-o", str(out_dir), "--png",
+            "--no-configs", "16,16", "--i-equidistant", "180",
+            "--rectilinear", "35,36", "--nn", "--bl",
+        ])
+        assert rc == 0  # continues despite the conflict
         assert "more than one interpolation" in capsys.readouterr().out
+        got = png.read_png(str(out_dir / "in.png")).data
+
+        # nn + bl resolves to bilinear (the later assignment wins).
+        src = png.read_png(str(tmp_path / "in.png")).data
+        want = oracle.oracle_remap(
+            src, None,
+            in_lens=FisheyeEquidistant(fov=180.0, sensor_width=36.0, sensor_height=36.0),
+            out_lens=Rectilinear(35.0, 36.0, 36.0),
+            out_h=16, out_w=16, interp="bilinear", n_samples=1,
+        )
+        png.write_png(str(tmp_path / "oracle.png"), want)
+        want_rt = png.read_png(str(tmp_path / "oracle.png")).data
+        np.testing.assert_allclose(got, want_rt, atol=1e-6)
 
     def test_two_input_lenses(self, capsys, tmp_path):
         rc = cli.main([
@@ -167,6 +188,21 @@ class TestSingleFileRuns:
         src = png.read_png(str(tmp_path / "in.png")).data
         got = png.read_png(str(out_dir / "in.png")).data
         np.testing.assert_allclose(got, src, atol=0.01)
+
+    def test_no_reproject_output_resolution_resamples(self, tmp_path):
+        # With --output-resolution the reference's `scale` stays 0.0
+        # (src/main.cpp:297-310), so the plain-copy fast path (scale==1.0)
+        # does not fire and --no-reproject resamples to the requested W,H.
+        make_fisheye_png(tmp_path / "in.png", size=16)
+        out_dir = tmp_path / "out"
+        rc = cli.main([
+            "--single", str(tmp_path / "in.png"), "-o", str(out_dir), "--png",
+            "--no-configs", "16,16", "--i-equidistant", "180",
+            "--no-reproject", "--output-resolution", "8,8", "--bl",
+        ])
+        assert rc == 0
+        got = png.read_png(str(out_dir / "in.png")).data
+        assert got.shape == (8, 8, 3)
 
 
 class TestDirectoryRuns:

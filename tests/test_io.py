@@ -120,6 +120,92 @@ class TestExr:
         back = exr.read_exr(path)
         np.testing.assert_allclose(back.data, img, atol=0)
 
+    @staticmethod
+    def _write_manual_exr(path, img, *, ymin=0, xmin=0, ptype=None):
+        """Hand-build a none-compressed EXR with an arbitrary dataWindow."""
+        import struct
+
+        ptype = exr._PIXELTYPE_FLOAT if ptype is None else ptype
+        h, w, c = img.shape
+        names = sorted(exr.SLOT_CHANNELS[:c])
+        slot = {"R": 0, "G": 1, "B": 2, "A": 3, "Z": 4}
+        header = bytearray()
+        header += struct.pack("<ii", exr.MAGIC, 2)
+
+        def attr(name, atype, val):
+            header.extend(name.encode() + b"\x00" + atype.encode() + b"\x00")
+            header.extend(struct.pack("<i", len(val)))
+            header.extend(val)
+
+        attr("channels", "chlist", exr._encode_channels([(n, ptype) for n in names]))
+        attr("compression", "compression", bytes([exr._COMP_NONE]))
+        box = struct.pack("<iiii", xmin, ymin, xmin + w - 1, ymin + h - 1)
+        attr("dataWindow", "box2i", box)
+        attr("displayWindow", "box2i", box)
+        attr("lineOrder", "lineOrder", b"\x00")
+        attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+        attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        header += b"\x00"
+        out = bytearray(header)
+        dt = "<f2" if ptype == exr._PIXELTYPE_HALF else "<f4"
+        payloads = []
+        for ln in range(h):
+            row = b"".join(
+                img[ln, :, slot[n]].astype(dt).tobytes() for n in names
+            )
+            payloads.append(struct.pack("<iI", ymin + ln, len(row)) + row)
+        pos = len(out) + 8 * h
+        for pl in payloads:
+            out += struct.pack("<Q", pos)
+            pos += len(pl)
+        for pl in payloads:
+            out += pl
+        with open(path, "wb") as f:
+            f.write(bytes(out))
+
+    def test_offset_datawindow_read(self, tmp_path):
+        # Producers may emit dataWindow not anchored at (0,0); rows index
+        # relative to ymin. Exercise FLOAT type + offset window together.
+        img = hdr_image(6, 5, 3, seed=12)
+        path = str(tmp_path / "off.exr")
+        self._write_manual_exr(path, img, ymin=10, xmin=3)
+        back = exr.read_exr(path)
+        np.testing.assert_allclose(back.data, img, atol=0)
+
+    def test_corrupt_block_y_rejected(self, tmp_path):
+        # An out-of-window block scanline header must raise, not write OOB.
+        import struct
+
+        img = hdr_image(6, 5, 3, seed=13)
+        path = str(tmp_path / "bad.exr")
+        self._write_manual_exr(path, img)
+        with open(path, "rb") as f:
+            buf = bytearray(f.read())
+        hdr, off = exr._parse_header(bytes(buf))
+        (first_off,) = struct.unpack_from("<Q", bytes(buf), off)
+        struct.pack_into("<i", buf, first_off, -5)  # y := -5
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        with pytest.raises(ValueError, match="outside data window"):
+            exr.read_exr(path)
+
+    def test_corrupt_block_short_payload_rejected(self, tmp_path):
+        import struct
+
+        img = hdr_image(6, 5, 3, seed=14)
+        path = str(tmp_path / "short.exr")
+        self._write_manual_exr(path, img)
+        with open(path, "rb") as f:
+            buf = bytearray(f.read())
+        hdr, off = exr._parse_header(bytes(buf))
+        (first_off,) = struct.unpack_from("<Q", bytes(buf), off)
+        struct.pack_into("<I", buf, first_off + 4, 4)  # size := 4 (< raw row)
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        with pytest.raises(ValueError, match="short payload"):
+            exr.read_exr(path)
+
 
 class TestPng:
     def test_roundtrip_quantized(self, tmp_path):
