@@ -151,7 +151,17 @@ def main() -> int:
         raw_rates.append(pix / dt / 1e6)
         rates.append(pix / max(dt - overhead, 1e-9) / 1e6)
 
-    value = float(max(rates))
+    # Median of the steady-state reps (the first rep pays compile-adjacent
+    # warmup); max-of-reps would be a generous statistic.
+    steady = rates[1:] if len(rates) > 1 else rates
+    value = float(np.median(steady))
+
+    # On-chip exactness evidence for this round's artifact: a quick
+    # kernel-vs-oracle check on a reduced battery (full battery:
+    # bench/verify_onchip.py). Proves the kernel is exact on real hardware,
+    # where interpret-mode CI cannot see Mosaic miscompiles.
+    verify_ok, verify_p999 = _quick_verify()
+
     record = {
         "metric": "4K equirect->rectilinear bicubic+tonemap remap throughput",
         "value": round(value, 1),
@@ -162,13 +172,71 @@ def main() -> int:
         "interp": INTERP,
         "iters_per_rep": ITERS_PER_REP,
         "tile_rows": tile_rows,
+        "n_groups": n_groups,
+        "rb": rb,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),
         "d2h_transfer_ok": transfer_ok,
+        "verify_ok": verify_ok,
+        "verify_p999_err": verify_p999,
     }
     print(json.dumps(record))
     return 0
+
+
+def _quick_verify():
+    """Kernel-vs-oracle on-chip spot check (3 configs); (ok, worst p999)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from image_lens_reproject_tpu.models.lens import (
+        FisheyeEquisolid, Rectilinear, full_equirectangular,
+    )
+    from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel as RK
+    from image_lens_reproject_tpu.utils import oracle
+
+    RECT = Rectilinear(35.0, 36.0, 36.0)
+    EQUISOLID = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    EQUIRECT = full_equirectangular()
+    rot = rotation_matrix_degrees(15.0, 5.0, 0.0)
+    rng = np.random.default_rng(7)
+
+    def smooth(h, w):
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, h, dtype=np.float32),
+            np.linspace(0, 1, w, dtype=np.float32), indexing="ij",
+        )
+        return np.stack(
+            [0.5 + 0.45 * np.sin(4 * a * xx + 3 * b * yy + p)
+             for a, b, p in rng.uniform(0.5, 2, (3, 3))], -1,
+        ).astype(np.float32)
+
+    cases = [
+        (EQUIRECT, RECT, "bicubic", rot, (256, 512), (256, 256)),
+        (EQUISOLID, EQUIRECT, "bilinear", rot, (256, 256), (128, 256)),
+        (RECT, EQUISOLID, "bicubic", None, (256, 256), (256, 256)),
+    ]
+    worst = 0.0
+    try:
+        for il, ol, interp, r, (ih, iw), (oh, ow) in cases:
+            src = smooth(ih, iw)
+            tr, ng, rb = RK.suggest_tiling(il, ol, ih, iw, oh, ow, r, interp)
+            got = np.asarray(RK.remap_pallas(
+                jnp.asarray(src), None if r is None else jnp.asarray(r),
+                in_lens=il, out_lens=ol, out_h=oh, out_w=ow, interp=interp,
+                n_samples=1, tile_rows=tr, n_groups=ng, rb=rb,
+            ))
+            want = oracle.oracle_remap(
+                src, r, in_lens=il, out_lens=ol,
+                out_h=oh, out_w=ow, interp=interp, n_samples=1,
+            )
+            worst = max(worst, float(np.quantile(np.abs(got - want), 0.999)))
+        return bool(worst < 1e-3), float(f"{worst:.3e}")
+    except Exception:
+        return False, -1.0
 
 
 if __name__ == "__main__":

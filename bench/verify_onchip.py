@@ -60,6 +60,11 @@ def main() -> int:
         # tall-window variants (rb>40): polar-arc tiles + vectorized patch
         ("equisolid->equirect rot tall", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 8, 20, 160),
         ("rect->equisolid tall (annulus)", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 8, 20, 160),
+        # per-sub-tile shift tilings: single-group and arc-slope groups
+        ("equirect->rect bicubic T32 ng1", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 32, 1, 40),
+        ("equirect->rect bicubic T32 ng2", EQUIRECT, RECT, "bicubic", rot, (512, 1024), (512, 512), 32, 2, 40),
+        ("equisolid->equirect rot T32 ng5 rb80", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 32, 5, 80),
+        ("equirect->rect ss2 T32 ng2", EQUIRECT, RECT, "bilinear", rot, (256, 512), (256, 256), 32, 2, 40),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.

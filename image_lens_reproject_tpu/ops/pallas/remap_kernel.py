@@ -15,12 +15,16 @@ an (8, L) operand). This kernel is built around it:
   * Blocks are stored TRANSPOSED (source columns on sublanes, rows on
     lanes): reading one source column is a width-1 dynamic sublane slice —
     the only dynamic addressing mode that compiles on this toolchain.
-  * Per tile the kernel scans the window's source columns (a dynamic-trip
-    fori loop, typically 10-60 iterations). For each source column: a
-    small transpose puts the column's rows on sublanes, one sublane gather
-    per row-tap picks each output pixel's row, and masked FMAs apply the
-    exact interpolation weights (truncation/wrap/clamp semantics shared
-    with ops/sampling.py via ops/pallas/taps.py).
+  * Per tile the kernel scans the window's source columns in
+    SCAN_UNROLL-column steps (sized ~= the p99 tile window so most tiles
+    scan once). Per step: the step's columns are fetched (width-1 dynamic
+    sublane reads), transposed as one batch to put rows on sublanes, and
+    rolled once PER 8-ROW SUB-TILE so each sub-tile's window start lands
+    on sublane 0 — bounding the gather count by the *sub-tile* row span
+    (n_groups, usually 1) instead of the whole tile's. One sublane gather
+    per (row-tap, group, sub-tile) picks each output pixel's row; masked
+    FMAs apply the exact interpolation weights (truncation/wrap/clamp
+    semantics shared with ops/sampling.py via ops/pallas/taps.py).
   * Per-tile windows can overflow their quantized blocks (degenerate
     mappings: rectilinear-input horizons, poles). The prepass reduces an
     ``ok`` flag and a lax.cond falls back to the pure-XLA path for the
@@ -60,12 +64,14 @@ RB = 40     # default source row-window quantization step; blocks span 2*rb
 CB = 256    # source col-window quantization step; blocks span 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
-SCAN_UNROLL = 4  # source columns processed per scan-loop iteration
+SCAN_UNROLL = 32  # source columns per scan step (~=p99 tile window: most tiles scan once)
+SC = 16     # per-tile scalar slots in the packed prefetch array
 
-# Default row-group count per tile height (covers row spans up to
-# groups*8 - 2*MARGIN - taps source rows) at the default rb. suggest_tiling
-# may pick more groups and/or a taller rb when spans demand it.
-_GROUPS_FOR_TILE_ROWS = {8: 3, 16: 3, 24: 4, 32: 5}
+# Default row-group count per 8-row SUB-TILE (each sub-tile has its own
+# roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
+# spans up to groups*8 - 2*MARGIN - taps source rows). suggest_tiling
+# picks more groups and/or a taller rb when spans demand it.
+_GROUPS_FOR_TILE_ROWS = {8: 2, 16: 2, 24: 2, 32: 2}
 
 
 def _max_groups(rb: int) -> int:
@@ -91,6 +97,37 @@ def _interp_taps(interp: str) -> int:
     return {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
 
 
+def _margin_for(interp: str) -> int:
+    """Per-side window slack for prepass-vs-kernel coordinate drift.
+
+    The prepass computes tap windows with the same kxp math the kernel
+    uses, so drift is at most a few ulps of the source coordinate
+    (~1e-4 texel after gradient scaling) from compiler-level FMA
+    contraction differences. A drift-flipped trunc boundary moves a tap by
+    one texel, but for bilinear/bicubic the entering/leaving tap's weight
+    is O(drift) there — no whole-texel slack needed. Nearest's single tap
+    carries weight 1 across the flip, so keep one texel of slack.
+    """
+    return 1 if interp == "nearest" else 0
+
+
+def _prepass_offsets(n_samples: int):
+    """Offsets whose tap-window union covers every stratified offset.
+
+    For n=1 the single (0,0) pass. For supersampled runs, the four corner
+    combinations of the extreme stratified offsets bound the interior
+    offsets' windows for locally monotone mappings (the mapping's
+    variation over a <=1px offset square is its local derivative — exactly
+    what the union measures; degenerate folding tiles overflow and are
+    patched regardless).
+    """
+    if n_samples <= 1:
+        return ((0.0, 0.0),)
+    offs = remap_ops.supersample_offsets(n_samples)
+    lo, hi = float(offs[0]), float(offs[-1])
+    return ((lo, lo), (lo, hi), (hi, lo), (hi, hi))
+
+
 def supported(src, in_lens, out_lens, interp: str, n_samples: int) -> bool:
     """Static eligibility (runtime window overflow falls back via lax.cond)."""
     if interp not in ("nearest", "bilinear", "bicubic"):
@@ -106,22 +143,28 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# (tile_rows, n_groups, rb) candidate grid: taller tiles amortize the
-# per-column fetch; more groups (with a taller row-block rb) admit the
-# 100-200-row source spans of fisheye<->equirect polar arcs at
-# proportionally more masked-gather work.
+# (tile_rows, n_groups, rb) candidate grid. n_groups bounds the 8-row
+# SUB-TILE span (each sub-tile rolls its own window start), so smooth
+# mappings fit 1-2 groups and the 100-200-row tile spans of fisheye<->
+# equirect polar arcs only need groups for their per-8-row slope (a
+# taller rb keeps the whole tile inside one 2*rb block).
 _TILING_CANDIDATES = tuple(
     (tr, ng, rb)
     for tr in (8, 16, 24, 32)
-    for ng, rb in ((3, 40), (4, 40), (5, 40), (10, 80), (20, 160))
+    for ng, rb in (
+        (1, 40), (2, 40), (3, 40),
+        (2, 80), (3, 80), (5, 80),
+        (4, 160), (7, 160),
+    )
 )
 
 # Cost-model constants (ns/output-pixel, fitted to v5e measurements on the
 # BASELINE configs; ranking-only — the runtime prepass guards exactness).
 _PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles
-_KERNEL_BASE_NS = 60.0    # per-column fetch/roll/loop, amortized over tr
-_KERNEL_GROUP_NS = 4.0    # per (group x tap) masked-gather work
-_KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure at ng=20)
+_KERNEL_BASE_NS = 45.0    # per-column fetch/loop/colw, amortized over tr
+_KERNEL_ROLL_NS = 7.0     # per-sub-tile roll per column
+_KERNEL_GROUP_NS = 4.0    # per (group x tap) masked-gather work (x n_sub)
+_KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure)
 
 
 def suggest_tiling(
@@ -166,48 +209,88 @@ def suggest_tiling(
         if wrap:
             sx = np.mod(sx, np.float32(in_w))
         sx = np.clip(sx, -4.0, in_w + 4.0)
-        band = 16 // 2  # rows sampled every 2 -> 8 samples per 16-row band
-        n_bands = max(1, rows.size // band)
-        cchunk = max(1, -(-TC // step))  # samples per 128-col tile
-        n_cchunks = max(1, cols.size // cchunk)
-        spans = np.empty((n_bands, n_cchunks), np.float32)
-        cspans = np.empty((n_bands, n_cchunks), np.float32)
-        for b in range(n_bands):
-            chunk = sy[b * band:(b + 1) * band]
-            cchnk = sx[b * band:(b + 1) * band]
-            for cc in range(n_cchunks):
-                # +1 sample overlap: tiles straddle chunk boundaries
-                seg = chunk[:, cc * cchunk:(cc + 1) * cchunk + 1]
-                spans[b, cc] = seg.max() - seg.min()
-                cseg = cchnk[:, cc * cchunk:(cc + 1) * cchunk + 1]
-                cspan = cseg.max() - cseg.min()
-                if wrap and cspan > in_w / 2:
-                    # seam tiles: emulate the prepass monotonize (taps below
-                    # W/2 get +W) before measuring the column window
-                    cadj = np.where(cseg < in_w / 2, cseg + in_w, cseg)
-                    cspan = cadj.max() - cadj.min()
-                cspans[b, cc] = cspan
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
 
-        def frac_over(tr, ng):
-            scaled = spans * (tr / 16.0) + taps + 2 * MARGIN + 2
-            # Column windows must fit the (fixed) 2*CB block after CB
-            # quantization: guaranteed budget is CB columns.
-            col_over = cspans + taps + 2 * MARGIN + 2 > CB
-            return float(((scaled > ng * 8) | col_over).mean())
+        # Per 8-output-row band (rows sampled every 2 -> 4 samples/band),
+        # per 128-col tile column: row/col extremes, vectorized.
+        bnd = 4
+        cchunk = max(1, -(-TC // step))  # samples per 128-col tile
+
+        def _pad_group(a, g, axis):
+            n = a.shape[axis]
+            rem = (-n) % g
+            if rem:
+                pad = [(0, 0), (0, 0)]
+                pad[axis] = (0, rem)
+                a = np.pad(a, pad, mode="edge")
+            return a
+
+        sy_g = _pad_group(_pad_group(sy, bnd, 0), cchunk, 1)
+        sx_g = _pad_group(_pad_group(sx, bnd, 0), cchunk, 1)
+        nb, nc = sy_g.shape[0] // bnd, sy_g.shape[1] // cchunk
+        sy_g = sy_g.reshape(nb, bnd, nc, cchunk)
+        sx_g = sx_g.reshape(nb, bnd, nc, cchunk)
+        bmin = sy_g.min(axis=(1, 3))  # (nb, nc) per-band row extremes
+        bmax = sy_g.max(axis=(1, 3))
+        cmin = sx_g.min(axis=(1, 3))
+        cmax = sx_g.max(axis=(1, 3))
+        # Seam tiles: emulate the prepass monotonize (cols below W/2 get +W).
+        if wrap:
+            sx_adj = np.where(sx_g < in_w / 2, sx_g + in_w, sx_g)
+            cmin_a = sx_adj.min(axis=(1, 3))
+            cmax_a = sx_adj.max(axis=(1, 3))
+
+        margin = _margin_for(interp)
+        slack = taps + 2 * margin + 2
+        # Rows are sampled every 2: a 4-sample band covers rows 0..6 of its
+        # 8, so linear spans are under-read by 6/8 — correct for it.
+        bspan = (bmax - bmin) * np.float32(8.0 / 6.0)
+
+        def frac_over(tr, ng, rb):
+            q = max(1, tr // 8)
+            nt = -(-nb // q)
+
+            def tgroup(a, op):
+                g = _pad_group(a, q, 0).reshape(nt, q, nc)
+                return (g.min if op == "min" else g.max)(axis=1)
+
+            # Sub-tile condition: every 8-row band's tap span fits ng
+            # groups. Tap indices truncate, so the integer tap span is at
+            # most floor(span) + taps; the prepass condition adds
+            # 2*margin + 1 (see ok_r).
+            band_over = np.floor(bspan) + taps + 2 * margin + 1 > ng * 8
+            g_over = _pad_group(band_over.astype(np.float32), q, 0)
+            sub_over = g_over.reshape(nt, q, nc).max(axis=1) > 0
+            # Block fit: the whole tile's row span fits one 2*rb block
+            # after rb quantization: guaranteed budget is rb columns.
+            t_span = tgroup(bmax, "max") - tgroup(bmin, "min")
+            blk_over = t_span + slack > rb
+            # Column window must fit the (fixed) 2*CB block: budget CB.
+            c_span = tgroup(cmax, "max") - tgroup(cmin, "min")
+            if wrap:
+                c_span_a = tgroup(cmax_a, "max") - tgroup(cmin_a, "min")
+                c_span = np.where(c_span > in_w / 2, c_span_a, c_span)
+            col_over = c_span + slack > CB
+            return float((sub_over | blk_over | col_over).mean())
 
         # Pick the candidate minimizing modeled per-pixel cost: overflow
         # tiles are patched at ~XLA-gather cost, fitting tiles pay the scan
-        # kernel (fetch amortized over tile_rows, gathers scaling with
-        # groups x taps). Hard-cap the overflow fraction just under the
-        # kernel's 45% runtime patch limit (sampled spans are noisy).
+        # kernel (fetch amortized over tile_rows; one roll + ng*taps
+        # gathers per sub-tile per scanned column). Hard-cap the overflow
+        # fraction just under the kernel's 60% runtime patch limit
+        # (sampled spans are noisy).
         best = None
         for tr, ng, rb in _TILING_CANDIDATES:
-            f = frac_over(tr, ng)
+            if ng > _max_groups(rb):
+                continue
+            f = frac_over(tr, ng, rb)
             if f > 0.55:  # sampled estimate; runtime patch cap is 60%
                 continue
+            n_sub = max(1, tr // 8)
             grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
-            kern = (_KERNEL_BASE_NS + grp_ns * ng * taps) / tr
+            kern = (
+                _KERNEL_BASE_NS + n_sub * (_KERNEL_ROLL_NS + grp_ns * ng * taps)
+            ) / tr
             cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
             if best is None or cost < best[0]:
                 best = (cost, tr, ng, rb)
@@ -215,7 +298,7 @@ def suggest_tiling(
             return best[1], best[2], best[3]
     except Exception:
         pass
-    return 8, 3, RB
+    return 8, 2, RB
 
 
 def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, int]:
@@ -302,8 +385,12 @@ def _field_taps(
     cy = (rows.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
         out_h * 0.5
     ) + jnp.float32(off_y)
+    # kxp (not jnp): the window must bound the taps the KERNEL computes,
+    # and the kernel evaluates the lens math with kxp's polynomial inverse
+    # trig — using the same formulas here keeps prepass and kernel
+    # coordinates coherent to compiler-fusion-level drift (see _margin_for).
     sx, sy = remap_ops.source_coords(
-        in_lens, out_lens, in_h, in_w, cx, cy, rotation, out_h, out_w, xp=jnp
+        in_lens, out_lens, in_h, in_w, cx, cy, rotation, out_h, out_w, xp=kxp
     )
     xt = taps_mod.x_taps(sx, in_w, interp, wrap, xp=jnp)
     yt = taps_mod.y_taps(sy, in_h, interp, xp=jnp)
@@ -315,47 +402,73 @@ def _tile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) ->
     return (jnp.min if op == "min" else jnp.max)(r, axis=(1, 3))
 
 
+def _subtile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int) -> Array:
+    """Reduce per 8-row sub-tile -> (n_ty, n_sub, n_tx)."""
+    n_sub = tile_rows // 8
+    r = field.reshape(n_ty, n_sub, 8, n_tx, TC)
+    return (jnp.min if op == "min" else jnp.max)(r, axis=(2, 4))
+
+
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
-    rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-    n_groups, margin=MARGIN, row0=0, rb: int = RB,
+    rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
+    n_groups, margin=None, row0=0, rb: int = RB,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
-    ``margin`` widens the windows; supersampled runs pass MARGIN+1 so one
-    prepass (at offset 0) covers every +-0.5px stratified offset."""
-    xt, yt = _field_taps(
-        in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows, row0=row0,
-    )
+    ``offsets`` is a sequence of sub-pixel (off_x, off_y) pairs whose tap
+    windows are unioned — supersampled runs pass the extreme stratified
+    offsets (see _prepass_offsets) so one prepass covers every launch.
+    ``margin`` widens the windows (default: drift slack per interp)."""
+    if margin is None:
+        margin = _margin_for(interp)
+    fields = [
+        _field_taps(
+            in_lens, out_lens, in_h, in_w, out_h, out_w,
+            rotation, ox, oy, interp, wrap, n_ty, n_tx, tile_rows, row0=row0,
+        )
+        for ox, oy in offsets
+    ]
     # column extremes (unpadded, wrapped space) for seam detection
-    xs = jnp.stack(xt.idx)  # (n_taps, Hp, Wp)
+    xs = jnp.stack([i for xt, _ in fields for i in xt.idx])  # (n_off*n_taps, Hp, Wp)
     cmin_u = _tile_reduce(jnp.min(xs, axis=0), n_ty, n_tx, "min", tile_rows)
     cmax_u = _tile_reduce(jnp.max(xs, axis=0), n_ty, n_tx, "max", tile_rows)
     seam = jnp.logical_and(wrap, (cmax_u - cmin_u) > (in_w // 2))
 
     seam_px = jnp.repeat(jnp.repeat(seam, tile_rows, axis=0), TC, axis=1)
     xs_m = jnp.stack(
-        [taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) for i in xt.idx]
+        [
+            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp)
+            for xt, _ in fields
+            for i in xt.idx
+        ]
     ) + PAD
-    ys = jnp.stack(yt.idx) + PAD
+    ys = jnp.stack([i for _, yt in fields for i in yt.idx]) + PAD
 
     cmin = _tile_reduce(jnp.min(xs_m, axis=0), n_ty, n_tx, "min", tile_rows)
     cmax = _tile_reduce(jnp.max(xs_m, axis=0), n_ty, n_tx, "max", tile_rows)
-    rmin = _tile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
-    rmax = _tile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
+    n_sub = tile_rows // 8
+    rmin_sub = _subtile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
+    rmax_sub = _subtile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
+    rmin = jnp.min(rmin_sub, axis=1)
+    rmax = jnp.max(rmax_sub, axis=1)
 
     rblk = jnp.clip((rmin - margin) // rb, 0, max(n_rp - 1, 0))
     r_base = rblk * rb
     ok_r = jnp.logical_and(
         rmax + margin + 1 - r_base <= 2 * rb, rmin - margin - r_base >= 0
     )
-    # The kernel rolls each source column so the tile's first needed row
-    # lands on sublane 0 and covers N_ACTIVE_GROUPS*8 rows with static
-    # group slices — tiles with taller row spans fall back to XLA.
-    row_shift = jnp.clip(rmin - margin - r_base, 0, 2 * rb - 1)
+    # The kernel rolls each source column PER 8-ROW SUB-TILE so each
+    # sub-tile's first needed row lands on sublane 0; each sub-tile then
+    # covers n_groups*8 rows with static group slices. Bounding the
+    # *sub-tile* span (instead of the whole tile's) keeps the group count
+    # at 1-2 for smooth mappings and admits tall polar arcs cheaply.
+    row_shift_sub = jnp.clip(
+        rmin_sub - margin - r_base[:, None, :], 0, 2 * rb - 1
+    )  # (n_ty, n_sub, n_tx)
     ok_r = jnp.logical_and(
-        ok_r, (rmax - rmin + 2 * margin + 1) <= n_groups * 8
+        ok_r,
+        jnp.all((rmax_sub - rmin_sub + 2 * margin + 1) <= n_groups * 8, axis=1),
     )
     cblk = jnp.clip((cmin - margin) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
@@ -378,23 +491,21 @@ def _prepass(
     # afterwards); clamp their scan length so they cost one unroll step
     # instead of scanning a frame-wide window of garbage.
     n_scan = jnp.where(ok_all, n_scan, SCAN_UNROLL)
-    # Pack the 8 per-tile scalars into ONE prefetch array with a wide minor
+    # Pack the per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
-    # (n_ty, n_tx) arrays would cost 8x the SMEM (exhausts the 1MB SMEM at
-    # 4K grid sizes). Layout: (n_ty, n_tx * 8), field i at [ty, tx*8 + i].
-    scalars = jnp.stack(
-        [
-            blk,
-            r_base.astype(jnp.int32),
-            c_start.astype(jnp.int32),
-            n_scan.astype(jnp.int32),
-            seam.astype(jnp.int32),
-            c_base.astype(jnp.int32),
-            row_shift.astype(jnp.int32),
-            jnp.zeros_like(blk),
-        ],
-        axis=-1,
-    ).reshape(blk.shape[0], blk.shape[1] * 8)
+    # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
+    # at 4K grid sizes). Layout: (n_ty, n_tx * SC), field i at [ty, tx*SC+i];
+    # slots 6..6+n_sub-1 hold the per-sub-tile roll shifts.
+    fields = [
+        blk,
+        r_base.astype(jnp.int32),
+        c_start.astype(jnp.int32),
+        n_scan.astype(jnp.int32),
+        seam.astype(jnp.int32),
+        c_base.astype(jnp.int32),
+    ] + [row_shift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)]
+    fields += [jnp.zeros_like(blk)] * (SC - len(fields))
+    scalars = jnp.stack(fields, axis=-1).reshape(blk.shape[0], blk.shape[1] * SC)
     return scalars, jnp.logical_not(ok_all)
 
 
@@ -408,12 +519,13 @@ def _make_kernel(
     def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
-        r_base = scalars_s[ty, tx * 8 + 1]
-        c_start = scalars_s[ty, tx * 8 + 2]
-        n_scan = scalars_s[ty, tx * 8 + 3]
-        seam = scalars_s[ty, tx * 8 + 4] > 0
-        c_base = scalars_s[ty, tx * 8 + 5]
-        row_shift = scalars_s[ty, tx * 8 + 6]
+        r_base = scalars_s[ty, tx * SC + 1]
+        c_start = scalars_s[ty, tx * SC + 2]
+        n_scan = scalars_s[ty, tx * SC + 3]
+        seam = scalars_s[ty, tx * SC + 4] > 0
+        c_base = scalars_s[ty, tx * SC + 5]
+        # Per-sub-tile roll shifts (slots 6..6+n_sub-1).
+        shifts = [scalars_s[ty, tx * SC + 6 + h] for h in range(n_sub)]
 
         row0_k = rot_ref[0, 11].astype(jnp.int32)
         rows = jnp.minimum(
@@ -457,42 +569,51 @@ def _make_kernel(
             taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD - c_start
             for i in xt.idx
         ]
-        # Row-tap positions relative to the rolled window start; hoisted
-        # per-(tap, group) gather indices and masked row weights
-        # (N_ACTIVE_GROUPS * n_taps small arrays, loop-invariant).
-        y_rel = [
-            jnp.clip(i + PAD - r_base - row_shift, 0, n_groups * 8 - 1)
-            for i in yt.idx
-        ]
-        # Per-(tap, group, sub-tile) gather indices and masked row weights;
-        # the sub-tile split keeps the taa operand/index pairs at the
-        # hardware's (8, TC) sublane-gather shape.
+        # Row-tap positions relative to each sub-tile's rolled window start
+        # (each sub-tile has its own roll shift, so its taps live in
+        # [0, n_groups*8) — typically one group); hoisted per-(tap, group,
+        # sub-tile) gather indices and masked row weights (loop-invariant).
         def half(a, h):
             return a[h * 8:(h + 1) * 8]
 
+        y_rel = [
+            [
+                jnp.clip(
+                    half(i + PAD - r_base, h) - shifts[h], 0, n_groups * 8 - 1
+                )
+                for h in range(n_sub)
+            ]
+            for i in yt.idx
+        ]
         loc = [
             [
-                [jnp.clip(half(y_rel[m], h) - g * 8, 0, 7) for h in range(n_sub)]
+                [jnp.clip(y_rel[m][h] - g * 8, 0, 7) for h in range(n_sub)]
                 for g in range(n_groups)
             ]
             for m in range(n_taps)
         ]
-        wrow = [
-            [
+        if n_groups == 1:
+            # One group per sub-tile: y_rel is clipped to [0, 8), making the
+            # group-range mask vacuous — use the row weights directly.
+            wrow = [[[half(yt.weights[m], h) for h in range(n_sub)]]
+                    for m in range(n_taps)]
+        else:
+            wrow = [
                 [
-                    jnp.where(
-                        jnp.logical_and(
-                            half(y_rel[m], h) >= g * 8, half(y_rel[m], h) < (g + 1) * 8
-                        ),
-                        half(yt.weights[m], h),
-                        0.0,
-                    )
-                    for h in range(n_sub)
+                    [
+                        jnp.where(
+                            jnp.logical_and(
+                                y_rel[m][h] >= g * 8, y_rel[m][h] < (g + 1) * 8
+                            ),
+                            half(yt.weights[m], h),
+                            0.0,
+                        )
+                        for h in range(n_sub)
+                    ]
+                    for g in range(n_groups)
                 ]
-                for g in range(n_groups)
+                for m in range(n_taps)
             ]
-            for m in range(n_taps)
-        ]
         x_key_h = [[half(x_key[m], h) for h in range(n_sub)] for m in range(n_taps)]
         xw_h = [[half(xt.weights[m], h) for h in range(n_sub)] for m in range(n_taps)]
 
@@ -521,7 +642,10 @@ def _make_kernel(
                 axis=0,
             )  # (SCAN_UNROLL * C, 2rb)
             coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SCAN_UNROLL * C)
-            rolledT = pltpu.roll(coltT, 2 * rb - row_shift, 0)
+            # One roll per sub-tile aligns that sub-tile's window start to
+            # sublane 0, so each sub-tile needs only n_groups (usually 1)
+            # gathers per tap instead of covering the whole tile's span.
+            rolledT = [pltpu.roll(coltT, 2 * rb - shifts[h], 0) for h in range(n_sub)]
             for u in range(SCAN_UNROLL):
                 k = i * SCAN_UNROLL + u
                 colw = [
@@ -533,9 +657,9 @@ def _make_kernel(
                 ]
                 nxt = []
                 for c in range(c_ch):
-                    rolled = rolledT[:, u * c_ch + c:u * c_ch + c + 1]
                     acc_c = []
                     for h in range(n_sub):
+                        rolled = rolledT[h][:, u * c_ch + c:u * c_ch + c + 1]
                         rowv = jnp.zeros((8, TC), jnp.float32)
                         for g in range(n_groups):
                             opg = jnp.broadcast_to(rolled[g * 8:(g + 1) * 8], (8, TC))
@@ -581,8 +705,8 @@ def _remap_pallas_one(
     (jax.lax.axis_index under shard_map).
 
     ``shared``: optional (padded, scalars, bad) from a previous subsample
-    of the same run (prepass computed with a widened margin at offset 0
-    covers all stratified offsets; the block stack is offset-independent).
+    of the same run (the prepass unions tap windows over the extreme
+    stratified offsets; the block stack is offset-independent).
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -603,7 +727,7 @@ def _remap_pallas_one(
         n_cp = w_pad // CB - 1
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
-            rotation, off_x, off_y, interp, wrap, n_ty, n_tx, n_rp, n_cp,
+            rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
             tile_rows, n_groups, row0=row0, rb=rb,
         )
     else:
@@ -652,7 +776,7 @@ def _remap_pallas_one(
                 pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (1, c_ch, 2 * CB, 2 * rb),
-                    lambda ty, tx, scalars_s: (scalars_s[ty, tx * 8], 0, 0, 0),
+                    lambda ty, tx, scalars_s: (scalars_s[ty, tx * SC], 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -799,8 +923,8 @@ def make_prepass(
     data — so a frame stream sharing one config (the pipeline's directory
     mode, reference src/main.cpp:536-657) computes it once and passes the
     result to ``remap_pallas(..., prepass=...)``, saving ~10% per frame.
-    Uses the widened margin when supersampling so one plan covers every
-    stratified offset.
+    Supersampled runs union the windows over the extreme stratified
+    offsets so one plan covers every launch.
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -818,12 +942,11 @@ def make_prepass(
     else:
         w_now = in_w + 2 * PAD
     w_pad = max(_ceil_to(w_now, CB), 2 * CB)
-    margin = MARGIN + 1 if n_samples > 1 else MARGIN
     return _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
-        rotation, 0.0, 0.0, interp, wrap, n_ty, n_tx,
+        rotation, _prepass_offsets(n_samples), interp, wrap, n_ty, n_tx,
         h_pad // rb - 1, w_pad // CB - 1, tile_rows, n_groups,
-        margin=margin, row0=row0, rb=rb,
+        row0=row0, rb=rb,
     )
 
 
@@ -859,8 +982,9 @@ def remap_pallas(
     offsets = remap_ops.supersample_offsets(n_samples)
 
     # For n > 1 (or a caller-supplied plan), compute padding/blocks/prepass
-    # ONCE: the block stack is offset-independent, and a prepass at offset 0
-    # with margin+1 bounds every +-0.5px stratified offset.
+    # ONCE: the block stack is offset-independent, and a prepass that
+    # unions the windows over the extreme stratified offsets bounds every
+    # launch's taps.
     shared = None
     if prepass is not None or n_samples > 1:
         wrap = wrap_mode_for_input(in_lens)
@@ -878,9 +1002,9 @@ def remap_pallas(
             n_tx = -(-out_w // TC)
             scalars, bad = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
-                rotation, 0.0, 0.0, interp, wrap, n_ty, n_tx,
-                h_pad // rb - 1, w_pad // CB - 1, tile_rows, n_groups_eff,
-                margin=MARGIN + 1, row0=row0, rb=rb,
+                rotation, _prepass_offsets(n_samples), interp, wrap,
+                n_ty, n_tx, h_pad // rb - 1, w_pad // CB - 1, tile_rows,
+                n_groups_eff, row0=row0, rb=rb,
             )
         shared = (padded, scalars, bad)
 

@@ -78,7 +78,8 @@ def test_bad_tile_accounting():
     n_rp, n_cp = h_pad // RK.RB - 1, w_pad // RK.CB - 1
     _, bad = RK._prepass(
         RECT, EQUISOLID, in_h, in_w, out_h, out_w,
-        None, 0.0, 0.0, "bilinear", False, n_ty, n_tx, n_rp, n_cp, tile_rows, ng,
+        None, ((0.0, 0.0),), "bilinear", False, n_ty, n_tx, n_rp, n_cp,
+        tile_rows, ng,
     )
     n_bad = int(np.asarray(bad).sum())
     assert 0 < n_bad <= (n_ty * n_tx)  # overflow ring exists

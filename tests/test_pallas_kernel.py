@@ -242,11 +242,14 @@ class TestKernelGolden:
         tr, ng, rb = RK.suggest_tiling(
             EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear"
         )
-        assert rb > 40 and ng >= 10
+        # Polar arcs need a tall row block; per-sub-tile shifts keep the
+        # group count at the per-8-row slope, far below the old whole-tile
+        # requirement (>= 10 groups).
+        assert rb > 40 and ng >= 2
         tr, ng, rb = RK.suggest_tiling(
             EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
         )
-        assert rb == 40 and tr == 32
+        assert rb == 40 and tr == 32 and ng <= 2
 
     def test_planned_prepass_matches_inline(self):
         # make_plan + remap_tonemap_planned must equal the unplanned call.
