@@ -153,18 +153,27 @@ _TILING_CANDIDATES = tuple(
     for tr in (8, 16, 24, 32)
     for ng, rb in (
         (1, 40), (2, 40), (3, 40),
-        (2, 80), (3, 80), (5, 80),
-        (4, 160), (7, 160),
+        (2, 80), (3, 80), (5, 80), (8, 80),
+        (4, 160), (7, 160), (10, 160), (13, 160),
     )
+) + (
+    # Whole-tile-span windows for violently oscillating mappings (e.g. a
+    # raw-radians fisheye fov) whose 8-row sub-spans blow past the grid:
+    # at tile_rows 8/16 these degenerate gracefully toward the round-1
+    # whole-tile design (few sub-tiles, many groups).
+    (8, 10, 80), (16, 10, 80), (8, 20, 160), (16, 20, 160),
 )
 
-# Cost-model constants (ns/output-pixel, fitted to v5e measurements on the
-# BASELINE configs; ranking-only — the runtime prepass guards exactness).
-_PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles
-_KERNEL_BASE_NS = 45.0    # per-column fetch/loop/colw, amortized over tr
+# Cost-model constants (ns per scanned column unless noted; fitted to v5e
+# measurements — headline: 779 Mpix/s at tr=32/ng=1/su=32 -> ~164 ns/col.
+# Ranking-only; the runtime prepass guards exactness).
+_PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
+_KERNEL_BASE_NS = 36.0    # per-column fetch + loop share
 _KERNEL_ROLL_NS = 7.0     # per-sub-tile roll per column
+_KERNEL_COLW_NS = 7.0     # per-sub-tile column-weight selects per column
 _KERNEL_GROUP_NS = 4.0    # per (group x tap) masked-gather work (x n_sub)
 _KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure)
+_SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 
 
 def suggest_tiling(
@@ -177,11 +186,14 @@ def suggest_tiling(
     rotation_np,
     interp: str,
     channels: int = 3,
-) -> Tuple[int, int, int]:
-    """Host-side heuristic -> (tile_rows, n_groups, rb).
+) -> Tuple[int, int, int, int]:
+    """Host-side heuristic -> (tile_rows, n_groups, rb, scan_unroll).
 
     Taller tiles amortize per-column fetches; more groups (and a taller
     row-block ``rb``) admit taller row spans at extra gather cost.
+    ``scan_unroll`` sizes the scan step to the config's typical column
+    window (p95, rounded to 8) so minifying configs don't pay a 32-column
+    step for 10-column windows and most tiles scan exactly once.
 
     Evaluates the coordinate field on a decimated numpy grid, estimates
     each candidate's overflow-tile fraction (those get chunk-patched at
@@ -246,7 +258,7 @@ def suggest_tiling(
         # 8, so linear spans are under-read by 6/8 — correct for it.
         bspan = (bmax - bmin) * np.float32(8.0 / 6.0)
 
-        def frac_over(tr, ng, rb):
+        def candidate_stats(tr, ng, rb):
             q = max(1, tr // 8)
             nt = -(-nb // q)
 
@@ -271,34 +283,51 @@ def suggest_tiling(
                 c_span_a = tgroup(cmax_a, "max") - tgroup(cmin_a, "min")
                 c_span = np.where(c_span > in_w / 2, c_span_a, c_span)
             col_over = c_span + slack > CB
-            return float((sub_over | blk_over | col_over).mean())
+            over = sub_over | blk_over | col_over
+            window = c_span + slack  # scanned-column count per good tile
+            good = ~over
+            # The unrolled scan step's live values scale with
+            # ng*taps*su*n_sub; past ~10k the Mosaic stack allocator blows
+            # the 16MB scoped-VMEM limit at COMPILE time (no runtime
+            # fallback possible), so cap the product well below it.
+            su_cap = max(8, (_SU_LIVE_BUDGET // (ng * taps * max(1, tr // 8))) // 8 * 8)
+            if good.any():
+                su = int(np.quantile(window[good], 0.95))
+                su = min(64, su_cap, max(8, _ceil_to(su, 8)))
+                scanned = float(
+                    (np.ceil(window[good] / su) * su).mean()
+                )
+            else:
+                su, scanned = min(SCAN_UNROLL, su_cap), float(CB)
+            return float(over.mean()), su, scanned
 
         # Pick the candidate minimizing modeled per-pixel cost: overflow
         # tiles are patched at ~XLA-gather cost, fitting tiles pay the scan
-        # kernel (fetch amortized over tile_rows; one roll + ng*taps
-        # gathers per sub-tile per scanned column). Hard-cap the overflow
-        # fraction just under the kernel's 60% runtime patch limit
-        # (sampled spans are noisy).
+        # kernel (per scanned column: a share of the fetch plus one roll +
+        # ng*taps gathers + column weights per 8-row sub-tile). Hard-cap
+        # the overflow fraction just under the kernel's 60% runtime patch
+        # limit (sampled spans are noisy).
         best = None
         for tr, ng, rb in _TILING_CANDIDATES:
             if ng > _max_groups(rb):
                 continue
-            f = frac_over(tr, ng, rb)
+            f, su, scanned = candidate_stats(tr, ng, rb)
             if f > 0.55:  # sampled estimate; runtime patch cap is 60%
                 continue
             n_sub = max(1, tr // 8)
             grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
-            kern = (
-                _KERNEL_BASE_NS + n_sub * (_KERNEL_ROLL_NS + grp_ns * ng * taps)
-            ) / tr
+            col_ns = _KERNEL_BASE_NS + n_sub * (
+                _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
+            )
+            kern = scanned * col_ns / (tr * TC)
             cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
             if best is None or cost < best[0]:
-                best = (cost, tr, ng, rb)
+                best = (cost, tr, ng, rb, su)
         if best is not None:
-            return best[1], best[2], best[3]
+            return best[1], best[2], best[3], best[4]
     except Exception:
         pass
-    return 8, 2, RB
+    return 8, 2, RB, SCAN_UNROLL
 
 
 def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, int]:
@@ -412,7 +441,7 @@ def _subtile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int)
 def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
-    n_groups, margin=None, row0=0, rb: int = RB,
+    n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
@@ -477,7 +506,7 @@ def _prepass(
     # sit beyond every tap (weights identically zero) and the in-kernel
     # sublane clamp keeps their reads in bounds.
     n_scan = cmax - cmin + 2 * margin + 1
-    n_scan = ((n_scan + SCAN_UNROLL - 1) // SCAN_UNROLL) * SCAN_UNROLL
+    n_scan = ((n_scan + scan_unroll - 1) // scan_unroll) * scan_unroll
     ok_c = jnp.logical_and(
         cmax + margin + 1 - c_base <= 2 * CB, c_start - c_base >= 0
     )
@@ -490,7 +519,7 @@ def _prepass(
     # Overflow tiles still run through the kernel (their output is patched
     # afterwards); clamp their scan length so they cost one unroll step
     # instead of scanning a frame-wide window of garbage.
-    n_scan = jnp.where(ok_all, n_scan, SCAN_UNROLL)
+    n_scan = jnp.where(ok_all, n_scan, scan_unroll)
     # Pack the per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
@@ -512,9 +541,11 @@ def _prepass(
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
+    scan_unroll: int = SCAN_UNROLL,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
+    SU = scan_unroll
 
     def kernel(scalars_s, rot_ref, blk_ref, out_ref):
         ty = pl.program_id(0)
@@ -624,30 +655,29 @@ def _make_kernel(
 
         def body(i, accs):
             out = accs
-            # One transpose + one roll for the whole unroll step: stack the
-            # SCAN_UNROLL x C column reads on the minor axis first (the roll
-            # shift is per-tile, identical for every column). NOTE: dynamic
-            # NEGATIVE roll shifts are miscompiled on real TPUs (correct in
-            # interpret mode); use the positive equivalent.
+            # One transpose per step: stack the SU x C column reads on the
+            # minor axis first. NOTE: dynamic NEGATIVE roll shifts are
+            # miscompiled on real TPUs (correct in interpret mode); use the
+            # positive equivalent.
             subs = [
-                jnp.clip(c_start + i * SCAN_UNROLL + u - c_base, 0, 2 * CB - 1)
-                for u in range(SCAN_UNROLL)
+                jnp.clip(c_start + i * SU + u - c_base, 0, 2 * CB - 1)
+                for u in range(SU)
             ]
             colvs = jnp.concatenate(
                 [
                     blk_ref[0, c, pl.ds(subs[u], 1), :]
-                    for u in range(SCAN_UNROLL)
+                    for u in range(SU)
                     for c in range(c_ch)
                 ],
                 axis=0,
-            )  # (SCAN_UNROLL * C, 2rb)
-            coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SCAN_UNROLL * C)
+            )  # (SU * C, 2rb)
+            coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SU * C)
             # One roll per sub-tile aligns that sub-tile's window start to
             # sublane 0, so each sub-tile needs only n_groups (usually 1)
             # gathers per tap instead of covering the whole tile's span.
             rolledT = [pltpu.roll(coltT, 2 * rb - shifts[h], 0) for h in range(n_sub)]
-            for u in range(SCAN_UNROLL):
-                k = i * SCAN_UNROLL + u
+            for u in range(SU):
+                k = i * SU + u
                 colw = [
                     sum(
                         jnp.where(x_key_h[m][h] == k, xw_h[m][h], 0.0)
@@ -671,7 +701,7 @@ def _make_kernel(
                 out = nxt
             return out
 
-        accs = jax.lax.fori_loop(0, n_scan // SCAN_UNROLL, body, accs)
+        accs = jax.lax.fori_loop(0, n_scan // SU, body, accs)
         for c in range(c_ch):
             for h in range(n_sub):
                 out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
@@ -693,6 +723,7 @@ def _remap_pallas_one(
     tile_rows: int = TR,
     n_groups: int = 0,
     rb: int = RB,
+    scan_unroll: int = 0,
     shared=None,
     row0=0,
     band_rows: int = 0,
@@ -711,6 +742,8 @@ def _remap_pallas_one(
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
     n_groups = min(n_groups, _max_groups(rb))
+    if scan_unroll <= 0:
+        scan_unroll = SCAN_UNROLL
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
@@ -728,7 +761,7 @@ def _remap_pallas_one(
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
-            tile_rows, n_groups, row0=row0, rb=rb,
+            tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
         )
     else:
         padded, scalars, bad = shared
@@ -764,6 +797,7 @@ def _remap_pallas_one(
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
         interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
+        scan_unroll=scan_unroll,
     )
 
     def pallas_branch(operands):
@@ -914,6 +948,7 @@ def make_prepass(
     tile_rows: int = TR,
     n_groups: int = 0,
     rb: int = RB,
+    scan_unroll: int = 0,
     row0=0,
     band_rows: int = 0,
 ) -> Tuple[Array, Array]:
@@ -947,6 +982,7 @@ def make_prepass(
         rotation, _prepass_offsets(n_samples), interp, wrap, n_ty, n_tx,
         h_pad // rb - 1, w_pad // CB - 1, tile_rows, n_groups,
         row0=row0, rb=rb,
+        scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
     )
 
 
@@ -965,6 +1001,7 @@ def remap_pallas(
     tile_rows: int = TR,
     n_groups: int = 0,
     rb: int = RB,
+    scan_unroll: int = 0,
     row0=0,
     band_rows: int = 0,
     prepass: Optional[Tuple[Array, Array]] = None,
@@ -1005,6 +1042,7 @@ def remap_pallas(
                 rotation, _prepass_offsets(n_samples), interp, wrap,
                 n_ty, n_tx, h_pad // rb - 1, w_pad // CB - 1, tile_rows,
                 n_groups_eff, row0=row0, rb=rb,
+                scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
             )
         shared = (padded, scalars, bad)
 
@@ -1017,6 +1055,7 @@ def remap_pallas(
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                scan_unroll=scan_unroll,
                 shared=shared, row0=row0, band_rows=band_rows,
             )
             acc = out if acc is None else acc + out

@@ -35,6 +35,7 @@ from . import remap as remap_ops
         "tile_rows",
         "n_groups",
         "rb",
+        "scan_unroll",
     ),
 )
 def remap_tonemap(
@@ -52,6 +53,7 @@ def remap_tonemap(
     tile_rows: int = 8,
     n_groups: int = 0,
     rb: int = 40,
+    scan_unroll: int = 0,
 ) -> jax.Array:
     """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
     use_pallas = False
@@ -80,6 +82,7 @@ def remap_tonemap(
             tile_rows=tile_rows,
             n_groups=n_groups,
             rb=rb,
+            scan_unroll=scan_unroll,
         )
         return out
 
@@ -102,7 +105,7 @@ def remap_tonemap(
     jax.jit,
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
-        "exposure", "reinhard", "tile_rows", "n_groups", "rb",
+        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll",
     ),
 )
 def remap_tonemap_planned(
@@ -122,6 +125,7 @@ def remap_tonemap_planned(
     tile_rows: int = 8,
     n_groups: int = 0,
     rb: int = 40,
+    scan_unroll: int = 0,
 ) -> jax.Array:
     """remap_tonemap with a precomputed prepass (see make_plan).
 
@@ -136,7 +140,7 @@ def remap_tonemap_planned(
         in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
         interp=interp, n_samples=n_samples, exposure=exposure,
         reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-        prepass=(scalars, bad),
+        scan_unroll=scan_unroll, prepass=(scalars, bad),
     )
 
 
@@ -154,6 +158,7 @@ def make_plan(
     tile_rows: int = 8,
     n_groups: int = 0,
     rb: int = 40,
+    scan_unroll: int = 0,
 ):
     """Device-compute the reusable (scalars, bad) prepass for one config."""
     from .pallas import remap_kernel
@@ -164,6 +169,7 @@ def make_plan(
             in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
             out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+            scan_unroll=scan_unroll,
         )
     )
     return fn(rotation)

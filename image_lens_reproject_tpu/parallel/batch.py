@@ -45,6 +45,7 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "tile_rows",
         "n_groups",
         "rb",
+        "scan_unroll",
     ),
 )
 def sharded_remap_step(
@@ -63,6 +64,7 @@ def sharded_remap_step(
     tile_rows: int = 8,
     n_groups: int = 0,
     rb: int = 40,
+    scan_unroll: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
@@ -106,6 +108,7 @@ def sharded_remap_step(
                     tile_rows=tile_rows,
                     n_groups=n_groups,
                     rb=rb,
+                    scan_unroll=scan_unroll,
                     row0=row0,
                     band_rows=band,
                 )

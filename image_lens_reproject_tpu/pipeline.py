@@ -219,7 +219,7 @@ def process_batch(
             dmesh = pmesh.make_mesh(
                 devices=jax.devices()[: b_ax * r_ax], batch=b_ax, rows=r_ax
             )
-            tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
+            tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
                 opts.input_lens, opts.output_lens,
                 int(batch.shape[1]), int(batch.shape[2]),
                 opts.out_height, opts.out_width,
@@ -248,6 +248,7 @@ def process_batch(
                 tile_rows=tile_rows,
                 n_groups=n_groups,
                 rb=rb,
+                scan_unroll=scan_unroll,
             )[:n_real]
         elif jax.default_backend() == "tpu":
             # TPU: per-image fused remap+tonemap (Pallas kernel path with
@@ -263,7 +264,7 @@ def process_batch(
                    None if opts.rotation is None else opts.rotation.tobytes())
             cached = _PLAN_CACHE.get(key)
             if cached is None:
-                tile_rows, n_groups, rb = remap_kernel.suggest_tiling(
+                tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
                     opts.input_lens, opts.output_lens,
                     int(batch.shape[1]), int(batch.shape[2]),
                     opts.out_height, opts.out_width,
@@ -277,10 +278,11 @@ def process_batch(
                     out_h=opts.out_height, out_w=opts.out_width,
                     interp=opts.interp, n_samples=opts.n_samples,
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                    scan_unroll=scan_unroll,
                 )
-                cached = (tile_rows, n_groups, rb, scalars, bad)
+                cached = (tile_rows, n_groups, rb, scan_unroll, scalars, bad)
                 _PLAN_CACHE[key] = cached
-            tile_rows, n_groups, rb, scalars, bad = cached
+            tile_rows, n_groups, rb, scan_unroll, scalars, bad = cached
             outs = [
                 remap_fused.remap_tonemap_planned(
                     batch[i],
@@ -298,6 +300,7 @@ def process_batch(
                     tile_rows=tile_rows,
                     n_groups=n_groups,
                     rb=rb,
+                    scan_unroll=scan_unroll,
                 )
                 for i in range(batch.shape[0])
             ]
