@@ -254,9 +254,12 @@ def suggest_tiling(
 
         margin = _margin_for(interp)
         slack = taps + 2 * margin + 2
-        # Rows are sampled every 2: a 4-sample band covers rows 0..6 of its
-        # 8, so linear spans are under-read by 6/8 — correct for it.
-        bspan = (bmax - bmin) * np.float32(8.0 / 6.0)
+
+        # Flattened per-sample fields for the sheared-prepass simulation.
+        sy_s = sy_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)
+        sx_s = sx_g.transpose(0, 2, 1, 3)
+        if wrap:
+            sx_s_adj = np.where(sx_s < in_w / 2, sx_s + in_w, sx_s)
 
         def candidate_stats(tr, ng, rb):
             q = max(1, tr // 8)
@@ -266,40 +269,104 @@ def suggest_tiling(
                 g = _pad_group(a, q, 0).reshape(nt, q, nc)
                 return (g.min if op == "min" else g.max)(axis=1)
 
-            # Sub-tile condition: every 8-row band's tap span fits ng
-            # groups. Tap indices truncate, so the integer tap span is at
-            # most floor(span) + taps; the prepass condition adds
-            # 2*margin + 1 (see ok_r).
-            band_over = np.floor(bspan) + taps + 2 * margin + 1 > ng * 8
-            g_over = _pad_group(band_over.astype(np.float32), q, 0)
-            sub_over = g_over.reshape(nt, q, nc).max(axis=1) > 0
             # Block fit: the whole tile's row span fits one 2*rb block
             # after rb quantization: guaranteed budget is rb columns.
             t_span = tgroup(bmax, "max") - tgroup(bmin, "min")
             blk_over = t_span + slack > rb
             # Column window must fit the (fixed) 2*CB block: budget CB.
             c_span = tgroup(cmax, "max") - tgroup(cmin, "min")
+            cmin_t = tgroup(cmin, "min")
             if wrap:
                 c_span_a = tgroup(cmax_a, "max") - tgroup(cmin_a, "min")
-                c_span = np.where(c_span > in_w / 2, c_span_a, c_span)
+                use_adj = c_span > in_w / 2
+                c_span = np.where(use_adj, c_span_a, c_span)
+                cmin_t = np.where(use_adj, tgroup(cmin_a, "min"), cmin_t)
             col_over = c_span + slack > CB
-            over = sub_over | blk_over | col_over
             window = c_span + slack  # scanned-column count per good tile
-            good = ~over
+            if float((blk_over | col_over).mean()) > 0.55:
+                return 1.0, SCAN_UNROLL, float(CB)  # candidate dead anyway
             # The unrolled scan step's live values scale with
             # ng*taps*su*n_sub; past ~10k the Mosaic stack allocator blows
             # the 16MB scoped-VMEM limit at COMPILE time (no runtime
-            # fallback possible), so cap the product well below it.
-            su_cap = max(8, (_SU_LIVE_BUDGET // (ng * taps * max(1, tr // 8))) // 8 * 8)
-            if good.any():
-                su = int(np.quantile(window[good], 0.95))
-                su = min(64, su_cap, max(8, _ceil_to(su, 8)))
-                scanned = float(
-                    (np.ceil(window[good] / su) * su).mean()
-                )
+            # fallback possible), so cap the product well below it. Tall
+            # rb=160 blocks add their own scoped pressure (observed:
+            # ng*taps*su*n_sub=2560 at rb=160 OOMs where 2048 compiles);
+            # halve the budget there.
+            budget = _SU_LIVE_BUDGET // (2 if rb >= 160 else 1)
+            su_cap = max(8, (budget // (ng * taps * max(1, tr // 8))) // 8 * 8)
+            pre = ~(blk_over | col_over)
+            if pre.any():
+                su95 = int(np.quantile(window[pre], 0.95))
+                su95 = min(64, su_cap, max(8, _ceil_to(su95, 8)))
             else:
-                su, scanned = min(SCAN_UNROLL, su_cap), float(CB)
-            return float(over.mean()), su, scanned
+                su95 = min(SCAN_UNROLL, su_cap)
+
+            # tile-grouped sample views: (nt, q, nc, bnd, cchunk)
+            sxx = sx_s_adj if wrap else sx_s
+
+            def sgroup(a):
+                return _pad_group(
+                    a.reshape(nb, nc * bnd * cchunk), q, 0
+                ).reshape(nt, q, nc, bnd, cchunk)
+
+            sxg = sgroup(sxx)
+            syg = sgroup(sy_s)
+
+            def sim(su):
+                # Simulate the device prepass's sheared per-chunk
+                # verification on the sampled grid: scatter per-band row
+                # extremes into scan chunks, fit the linear drift from the
+                # endpoint chunks, and check every chunk's residual against
+                # ng*8 — the same computation _prepass performs exactly.
+                nch = min(16, -(-2 * CB // su))
+                j_s = (sxg - cmin_t[:, None, :, None, None]) / su
+                j_s = np.clip(j_s.astype(np.int64), 0, nch - 1)
+                big = np.float32(1 << 28)
+                flat_idx = (
+                    (np.arange(nt)[:, None, None, None, None] * q
+                     + np.arange(q)[None, :, None, None, None]) * nc
+                    + np.arange(nc)[None, None, :, None, None]
+                ) * nch + j_s
+                rminc = np.full(nt * q * nc * nch, big, np.float32)
+                rmaxc = np.full(nt * q * nc * nch, -big, np.float32)
+                np.minimum.at(rminc, flat_idx.ravel(), syg.ravel())
+                np.maximum.at(rmaxc, flat_idx.ravel(), syg.ravel())
+                rminc = rminc.reshape(nt, q, nc, nch)
+                rmaxc = rmaxc.reshape(nt, q, nc, nch)
+                valid = rminc < big
+                jj = np.arange(nch)
+                j_first = np.where(valid, jj, nch).min(axis=-1)
+                j_last = np.where(valid, jj, -1).max(axis=-1)
+                r_first = np.where(jj == j_first[..., None], rminc, big).min(-1)
+                r_last = np.where(jj == j_last[..., None], rminc, big).min(-1)
+                d = (r_last - r_first) / np.maximum(j_last - j_first, 1)
+                rel = rminc - jj * d[..., None]
+                shift0 = np.where(valid, rel, big).min(-1)
+                resid = np.where(
+                    valid, rmaxc - jj * d[..., None] - shift0[..., None], -big
+                ).max(-1)
+                # Rows are sampled every 2 (bands under-read spans by 6/8);
+                # integer tap span is at most floor(span) + taps, and the
+                # prepass adds 2*margin + 1 (see _prepass ok_span).
+                sub_over = (
+                    np.floor(resid * np.float32(8.0 / 6.0))
+                    + taps + 2 * margin + 1 > ng * 8
+                ).max(axis=1) > 0
+                over = sub_over | blk_over | col_over
+                good = ~over
+                scanned = (
+                    float((np.ceil(window[good] / su) * su).mean())
+                    if good.any() else float(CB)
+                )
+                return float(over.mean()), su, scanned
+
+            # Smaller chunks shear finer (fewer bad tiles) at more loop
+            # steps; evaluate both the p95 window and a 32-column step.
+            out = [sim(su95)]
+            alt = min(32, su_cap)
+            if alt != su95:
+                out.append(sim(alt))
+            return out
 
         # Pick the candidate minimizing modeled per-pixel cost: overflow
         # tiles are patched at ~XLA-gather cost, fitting tiles pay the scan
@@ -311,18 +378,18 @@ def suggest_tiling(
         for tr, ng, rb in _TILING_CANDIDATES:
             if ng > _max_groups(rb):
                 continue
-            f, su, scanned = candidate_stats(tr, ng, rb)
-            if f > 0.55:  # sampled estimate; runtime patch cap is 60%
-                continue
-            n_sub = max(1, tr // 8)
-            grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
-            col_ns = _KERNEL_BASE_NS + n_sub * (
-                _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
-            )
-            kern = scanned * col_ns / (tr * TC)
-            cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
-            if best is None or cost < best[0]:
-                best = (cost, tr, ng, rb, su)
+            for f, su, scanned in candidate_stats(tr, ng, rb):
+                if f > 0.55:  # sampled estimate; runtime patch cap is 60%
+                    continue
+                n_sub = max(1, tr // 8)
+                grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
+                col_ns = _KERNEL_BASE_NS + n_sub * (
+                    _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
+                )
+                kern = scanned * col_ns / (tr * TC)
+                cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
+                if best is None or cost < best[0]:
+                    best = (cost, tr, ng, rb, su)
         if best is not None:
             return best[1], best[2], best[3], best[4]
     except Exception:
@@ -474,11 +541,15 @@ def _prepass(
     ) + PAD
     ys = jnp.stack([i for _, yt in fields for i in yt.idx]) + PAD
 
-    cmin = _tile_reduce(jnp.min(xs_m, axis=0), n_ty, n_tx, "min", tile_rows)
-    cmax = _tile_reduce(jnp.max(xs_m, axis=0), n_ty, n_tx, "max", tile_rows)
+    kmin_px = jnp.min(xs_m, axis=0)  # per-pixel tap extremes, padded coords
+    kmax_px = jnp.max(xs_m, axis=0)
+    ymin_px = jnp.min(ys, axis=0)
+    ymax_px = jnp.max(ys, axis=0)
+    cmin = _tile_reduce(kmin_px, n_ty, n_tx, "min", tile_rows)
+    cmax = _tile_reduce(kmax_px, n_ty, n_tx, "max", tile_rows)
     n_sub = tile_rows // 8
-    rmin_sub = _subtile_reduce(jnp.min(ys, axis=0), n_ty, n_tx, "min", tile_rows)
-    rmax_sub = _subtile_reduce(jnp.max(ys, axis=0), n_ty, n_tx, "max", tile_rows)
+    rmin_sub = _subtile_reduce(ymin_px, n_ty, n_tx, "min", tile_rows)
+    rmax_sub = _subtile_reduce(ymax_px, n_ty, n_tx, "max", tile_rows)
     rmin = jnp.min(rmin_sub, axis=1)
     rmax = jnp.max(rmax_sub, axis=1)
 
@@ -487,18 +558,55 @@ def _prepass(
     ok_r = jnp.logical_and(
         rmax + margin + 1 - r_base <= 2 * rb, rmin - margin - r_base >= 0
     )
-    # The kernel rolls each source column PER 8-ROW SUB-TILE so each
-    # sub-tile's first needed row lands on sublane 0; each sub-tile then
-    # covers n_groups*8 rows with static group slices. Bounding the
-    # *sub-tile* span (instead of the whole tile's) keeps the group count
-    # at 1-2 for smooth mappings and admits tall polar arcs cheaply.
-    row_shift_sub = jnp.clip(
-        rmin_sub - margin - r_base[:, None, :], 0, 2 * rb - 1
-    )  # (n_ty, n_sub, n_tx)
+    # SHEARED SUB-TILE WINDOWS. The kernel rolls each scan step's columns
+    # PER 8-ROW SUB-TILE, with the roll shift drifting LINEARLY with the
+    # step index: shift_h(step) = shift0_h + step*drift_h. A steep-but-
+    # locally-linear mapping (fisheye<->equirect polar arcs, radial FOV
+    # stretches) then only needs the group window to cover the residual
+    # per-chunk thickness, not the whole tile's row span. The fit is
+    # verified EXACTLY per scan chunk below — a chunk whose taps escape
+    # the predicted window marks the tile bad (patched), so the shear is
+    # a pure admission/performance feature.
+    c_start = cmin - margin
+    su = scan_unroll
+    n_chunks = min(16, -(-2 * CB // su))
+    big = jnp.int32(1 << 28)
+    # Per-pixel scan-chunk range (a pixel's taps span <= 2 chunks).
+    c_start_px = jnp.repeat(jnp.repeat(c_start, tile_rows, axis=0), TC, axis=1)
+    j_lo = jnp.maximum(kmin_px - c_start_px, 0) // su
+    j_hi = jnp.maximum(kmax_px - c_start_px, 0) // su
+    rminc, rmaxc = [], []
+    for j in range(n_chunks):
+        in_chunk = jnp.logical_and(j_lo <= j, j_hi >= j)
+        rminc.append(_subtile_reduce(
+            jnp.where(in_chunk, ymin_px, big), n_ty, n_tx, "min", tile_rows))
+        rmaxc.append(_subtile_reduce(
+            jnp.where(in_chunk, ymax_px, -big), n_ty, n_tx, "max", tile_rows))
+    rminc = jnp.stack(rminc)  # (n_chunks, n_ty, n_sub, n_tx)
+    rmaxc = jnp.stack(rmaxc)
+    valid = rminc < big
+    jidx = jnp.arange(n_chunks, dtype=jnp.int32).reshape(n_chunks, 1, 1, 1)
+    j_first = jnp.min(jnp.where(valid, jidx, n_chunks), axis=0)
+    j_last = jnp.max(jnp.where(valid, jidx, -1), axis=0)
+    r_first = jnp.min(jnp.where(jidx == j_first[None], rminc, big), axis=0)
+    r_last = jnp.min(jnp.where(jidx == j_last[None], rminc, big), axis=0)
+    drift = (r_last - r_first) // jnp.maximum(j_last - j_first, 1)
+    r_base_b = r_base[None, :, None, :]
+    rel = rminc - margin - r_base_b - jidx * drift[None]
+    shift0 = jnp.min(jnp.where(valid, rel, big), axis=0)
+    # Exact per-chunk verification of the sheared windows:
+    top = rmaxc + margin + 1 - r_base_b - jidx * drift[None] - shift0[None]
+    ok_span = jnp.max(jnp.where(valid, top, -big), axis=0) <= n_groups * 8
+    win_lo = shift0[None] + jidx * drift[None]
+    ok_lo = jnp.min(jnp.where(valid, win_lo, big), axis=0) >= 0
+    ok_hi = jnp.max(
+        jnp.where(valid, win_lo + n_groups * 8, -big), axis=0
+    ) <= 2 * rb
     ok_r = jnp.logical_and(
-        ok_r,
-        jnp.all((rmax_sub - rmin_sub + 2 * margin + 1) <= n_groups * 8, axis=1),
+        ok_r, jnp.all(ok_span & ok_lo & ok_hi, axis=1)
     )
+    row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
+    row_drift_sub = drift
     cblk = jnp.clip((cmin - margin) // CB, 0, max(n_cp - 1, 0))
     c_base = cblk * CB
     c_start = cmin - margin
@@ -510,6 +618,9 @@ def _prepass(
     ok_c = jnp.logical_and(
         cmax + margin + 1 - c_base <= 2 * CB, c_start - c_base >= 0
     )
+    # The sheared windows were verified per scan chunk; tiles scanning
+    # past the verified chunk range fall back.
+    ok_c = jnp.logical_and(ok_c, n_scan <= n_chunks * su)
 
     blk = (rblk * n_cp + cblk).astype(jnp.int32)
     ok_all = jnp.logical_and(ok_r, ok_c)
@@ -524,7 +635,8 @@ def _prepass(
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
     # at 4K grid sizes). Layout: (n_ty, n_tx * SC), field i at [ty, tx*SC+i];
-    # slots 6..6+n_sub-1 hold the per-sub-tile roll shifts.
+    # slots 6..6+n_sub-1 hold the per-sub-tile roll shifts and slots
+    # 6+n_sub..6+2*n_sub-1 their per-step drifts.
     fields = [
         blk,
         r_base.astype(jnp.int32),
@@ -532,7 +644,8 @@ def _prepass(
         n_scan.astype(jnp.int32),
         seam.astype(jnp.int32),
         c_base.astype(jnp.int32),
-    ] + [row_shift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)]
+    ] + [row_shift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)] \
+      + [row_drift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)]
     fields += [jnp.zeros_like(blk)] * (SC - len(fields))
     scalars = jnp.stack(fields, axis=-1).reshape(blk.shape[0], blk.shape[1] * SC)
     return scalars, jnp.logical_not(ok_all)
@@ -555,8 +668,10 @@ def _make_kernel(
         n_scan = scalars_s[ty, tx * SC + 3]
         seam = scalars_s[ty, tx * SC + 4] > 0
         c_base = scalars_s[ty, tx * SC + 5]
-        # Per-sub-tile roll shifts (slots 6..6+n_sub-1).
+        # Per-sub-tile roll shifts (slots 6..) and per-step drifts
+        # (slots 6+n_sub..): shift_h(step) = shifts[h] + step * drifts[h].
         shifts = [scalars_s[ty, tx * SC + 6 + h] for h in range(n_sub)]
+        drifts = [scalars_s[ty, tx * SC + 6 + n_sub + h] for h in range(n_sub)]
 
         row0_k = rot_ref[0, 11].astype(jnp.int32)
         rows = jnp.minimum(
@@ -607,44 +722,20 @@ def _make_kernel(
         def half(a, h):
             return a[h * 8:(h + 1) * 8]
 
-        y_rel = [
-            [
-                jnp.clip(
-                    half(i + PAD - r_base, h) - shifts[h], 0, n_groups * 8 - 1
-                )
-                for h in range(n_sub)
-            ]
+        # Row-tap positions relative to the block base, hoisted; the
+        # per-step sheared shift is subtracted inside the scan loop.
+        y_base = [
+            [half(i + PAD - r_base, h) for h in range(n_sub)]
             for i in yt.idx
         ]
-        loc = [
-            [
-                [jnp.clip(y_rel[m][h] - g * 8, 0, 7) for h in range(n_sub)]
-                for g in range(n_groups)
-            ]
-            for m in range(n_taps)
-        ]
         if n_groups == 1:
-            # One group per sub-tile: y_rel is clipped to [0, 8), making the
+            # One group per sub-tile: y_rel clips to [0, 8), making the
             # group-range mask vacuous — use the row weights directly.
-            wrow = [[[half(yt.weights[m], h) for h in range(n_sub)]]
-                    for m in range(n_taps)]
+            wrow_hoist = [[[half(yt.weights[m], h) for h in range(n_sub)]]
+                          for m in range(n_taps)]
         else:
-            wrow = [
-                [
-                    [
-                        jnp.where(
-                            jnp.logical_and(
-                                y_rel[m][h] >= g * 8, y_rel[m][h] < (g + 1) * 8
-                            ),
-                            half(yt.weights[m], h),
-                            0.0,
-                        )
-                        for h in range(n_sub)
-                    ]
-                    for g in range(n_groups)
-                ]
-                for m in range(n_taps)
-            ]
+            wrow_hoist = None
+        yw_h = [[half(yt.weights[m], h) for h in range(n_sub)] for m in range(n_taps)]
         x_key_h = [[half(x_key[m], h) for h in range(n_sub)] for m in range(n_taps)]
         xw_h = [[half(xt.weights[m], h) for h in range(n_sub)] for m in range(n_taps)]
 
@@ -672,10 +763,49 @@ def _make_kernel(
                 axis=0,
             )  # (SU * C, 2rb)
             coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SU * C)
-            # One roll per sub-tile aligns that sub-tile's window start to
-            # sublane 0, so each sub-tile needs only n_groups (usually 1)
-            # gathers per tap instead of covering the whole tile's span.
-            rolledT = [pltpu.roll(coltT, 2 * rb - shifts[h], 0) for h in range(n_sub)]
+            # One roll per sub-tile aligns that sub-tile's SHEARED window
+            # start (shift + step*drift) to sublane 0, so each sub-tile
+            # needs only n_groups (usually 1) gathers per tap even when the
+            # mapping is steep but locally linear (polar arcs).
+            sh = [
+                jnp.clip(shifts[h] + i * drifts[h], 0, 2 * rb - 1)
+                for h in range(n_sub)
+            ]
+            rolledT = [pltpu.roll(coltT, 2 * rb - sh[h], 0) for h in range(n_sub)]
+            y_rel = [
+                [
+                    jnp.clip(y_base[m][h] - sh[h], 0, n_groups * 8 - 1)
+                    for h in range(n_sub)
+                ]
+                for m in range(n_taps)
+            ]
+            loc = [
+                [
+                    [jnp.clip(y_rel[m][h] - g * 8, 0, 7) for h in range(n_sub)]
+                    for g in range(n_groups)
+                ]
+                for m in range(n_taps)
+            ]
+            if wrow_hoist is not None:
+                wrow = wrow_hoist
+            else:
+                wrow = [
+                    [
+                        [
+                            jnp.where(
+                                jnp.logical_and(
+                                    y_rel[m][h] >= g * 8,
+                                    y_rel[m][h] < (g + 1) * 8,
+                                ),
+                                yw_h[m][h],
+                                0.0,
+                            )
+                            for h in range(n_sub)
+                        ]
+                        for g in range(n_groups)
+                    ]
+                    for m in range(n_taps)
+                ]
             for u in range(SU):
                 k = i * SU + u
                 colw = [

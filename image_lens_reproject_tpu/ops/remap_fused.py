@@ -144,6 +144,55 @@ def remap_tonemap_planned(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
+        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll",
+    ),
+)
+def remap_tonemap_planned_batch(
+    batch: jax.Array,
+    rotation: Optional[jax.Array],
+    scalars: jax.Array,
+    bad: jax.Array,
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    exposure: float = 1.0,
+    reinhard: float = 1.0,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
+    scan_unroll: int = 0,
+) -> jax.Array:
+    """(B, H, W, C) -> (B, out_h, out_w, C) in ONE device dispatch.
+
+    lax.scan over the batch inside a single jit: the Pallas launch and
+    its prepass plan are traced once and the whole frame batch runs as
+    one program — dispatch latency (tunnel ~ms per call) is paid once
+    per batch instead of once per frame.
+    """
+    from .pallas import remap_kernel
+
+    def body(_, img):
+        out = remap_kernel.remap_pallas(
+            img, rotation,
+            in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
+            interp=interp, n_samples=n_samples, exposure=exposure,
+            reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
+            rb=rb, scan_unroll=scan_unroll, prepass=(scalars, bad),
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, batch)
+    return outs
+
+
 def make_plan(
     rotation: Optional[jax.Array],
     *,

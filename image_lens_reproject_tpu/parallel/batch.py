@@ -68,12 +68,13 @@ def sharded_remap_step(
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
-    B must divide by mesh 'batch', H and out_h by mesh 'rows'.
+    B must divide by mesh 'batch' and H by mesh 'rows'. out_h need not
+    divide: bands are padded to ceil(out_h / rows) (the band remap clamps
+    rows past out_h to the last real row) and the result is cropped.
     """
     n_rows = mesh.shape[ROWS_AXIS]
-    if out_h % n_rows != 0:
-        raise ValueError(f"out_h={out_h} not divisible by rows axis {n_rows}")
-    band = out_h // n_rows
+    band = -(-out_h // n_rows)
+    out_h_pad = band * n_rows
 
     rot_spec = P() if rotation is not None else None
 
@@ -143,11 +144,14 @@ def sharded_remap_step(
             lambda s: step(s, None), mesh=mesh, in_specs=(in_specs[0],),
             out_specs=out_specs, check_vma=False,
         )
-        return fn(batch)
-    fn = jax.shard_map(
-        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
-    )
-    return fn(batch, rotation)
+        result = fn(batch)
+    else:
+        fn = jax.shard_map(
+            step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        result = fn(batch, rotation)
+    return result[:, :out_h] if out_h_pad != out_h else result
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -176,17 +176,40 @@ def _resolve_mesh(opts: PipelineOptions, in_h: int):
         print(f"Warning: --mesh {b_ax}x{r_ax} needs {b_ax * r_ax} devices, "
               f"have {n_dev}; using single-device dispatch")
         return None
-    if opts.out_height % r_ax != 0 or in_h % r_ax != 0:
-        print(f"Warning: --mesh rows={r_ax} does not divide heights "
-              f"({in_h}, {opts.out_height}); using single-device dispatch")
+    # out_h need not divide (sharded_remap_step pads + crops the bands);
+    # the input height must, for the all_gather's row sharding.
+    if in_h % r_ax != 0:
+        print(f"Warning: --mesh rows={r_ax} does not divide the input "
+              f"height {in_h}; using single-device dispatch")
         return None
     return b_ax, r_ax
 
 
-# (input shape, config) -> (tile_rows, n_groups, rb, scalars, bad): the
-# Pallas prepass reused across every frame of a directory run (see
-# process_batch). Bounded by the number of distinct configs in a process.
-_PLAN_CACHE: dict = {}
+# (input shape, config) -> (tile_rows, n_groups, rb, scan_unroll, scalars,
+# bad): the Pallas prepass reused across every frame of a directory run
+# (see process_batch). LRU-bounded: plans hold device arrays, so a
+# long-lived process hitting many (shape, config) keys must evict.
+_PLAN_CACHE_MAX = 16
+_PLAN_CACHE: "OrderedDict" = None  # initialized below
+
+
+from collections import OrderedDict  # noqa: E402
+
+_PLAN_CACHE = OrderedDict()
+
+
+def _plan_cache_get(key):
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        _PLAN_CACHE.move_to_end(key)
+    return cached
+
+
+def _plan_cache_put(key, value):
+    _PLAN_CACHE[key] = value
+    _PLAN_CACHE.move_to_end(key)
+    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+        _PLAN_CACHE.popitem(last=False)
 
 
 def process_batch(
@@ -262,7 +285,7 @@ def process_batch(
                    opts.out_height, opts.out_width, opts.interp,
                    opts.n_samples,
                    None if opts.rotation is None else opts.rotation.tobytes())
-            cached = _PLAN_CACHE.get(key)
+            cached = _plan_cache_get(key)
             if cached is None:
                 tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
                     opts.input_lens, opts.output_lens,
@@ -281,30 +304,31 @@ def process_batch(
                     scan_unroll=scan_unroll,
                 )
                 cached = (tile_rows, n_groups, rb, scan_unroll, scalars, bad)
-                _PLAN_CACHE[key] = cached
+                _plan_cache_put(key, cached)
             tile_rows, n_groups, rb, scan_unroll, scalars, bad = cached
-            outs = [
-                remap_fused.remap_tonemap_planned(
-                    batch[i],
-                    rot,
-                    scalars,
-                    bad,
-                    in_lens=opts.input_lens,
-                    out_lens=opts.output_lens,
-                    out_h=opts.out_height,
-                    out_w=opts.out_width,
-                    interp=opts.interp,
-                    n_samples=opts.n_samples,
-                    exposure=opts.exposure,
-                    reinhard=opts.reinhard,
-                    tile_rows=tile_rows,
-                    n_groups=n_groups,
-                    rb=rb,
-                    scan_unroll=scan_unroll,
-                )
-                for i in range(batch.shape[0])
-            ]
-            out = jnp.stack(outs)
+            # One device dispatch for the whole batch (lax.scan over
+            # frames inside one jit): at 1080p each dispatch carries ~ms
+            # of tunnel/dispatch latency, so per-image launches taxed
+            # small-frame batches (reference analog: per-image task
+            # submission, src/main.cpp:536-657).
+            out = remap_fused.remap_tonemap_planned_batch(
+                batch,
+                rot,
+                scalars,
+                bad,
+                in_lens=opts.input_lens,
+                out_lens=opts.output_lens,
+                out_h=opts.out_height,
+                out_w=opts.out_width,
+                interp=opts.interp,
+                n_samples=opts.n_samples,
+                exposure=opts.exposure,
+                reinhard=opts.reinhard,
+                tile_rows=tile_rows,
+                n_groups=n_groups,
+                rb=rb,
+                scan_unroll=scan_unroll,
+            )
         else:
             out = remap.remap_batch_jit(
                 batch,

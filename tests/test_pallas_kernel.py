@@ -267,6 +267,27 @@ class TestKernelGolden:
             src, rot, exposure=2.0, reinhard=4.0, **kw))
         np.testing.assert_array_equal(got, want)
 
+    def test_planned_batch_matches_per_image(self):
+        # The single-dispatch lax.scan batch must equal per-image launches.
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        batch = jnp.stack(
+            [jnp.asarray(smooth(64, 128, 3, seed=20 + i)) for i in range(3)]
+        )
+        rot = jnp.asarray(rotation_matrix_degrees(10.0, -3.0, 1.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=32, out_w=128,
+                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=2,
+                  rb=40, scan_unroll=16)
+        scalars, bad = remap_fused.make_plan(rot, in_h=64, in_w=128, **kw)
+        got = np.asarray(remap_fused.remap_tonemap_planned_batch(
+            batch, rot, scalars, bad, exposure=2.0, reinhard=4.0, **kw))
+        want = np.stack([
+            np.asarray(remap_fused.remap_tonemap_planned(
+                batch[i], rot, scalars, bad, exposure=2.0, reinhard=4.0, **kw))
+            for i in range(3)
+        ])
+        np.testing.assert_array_equal(got, want)
+
     def test_planned_prepass_matches_inline_nonwrap(self):
         # make_prepass mirrors _pad_source's shape arithmetic; pin the
         # clamp-mode (non-wrap input) branch too.

@@ -154,8 +154,10 @@ def test_mesh_resolve_fallbacks():
         output_lens=Rectilinear(35.0, 36.0, 27.0),
         out_width=64, out_height=30, interp="bilinear",
     )
-    # rows axis not dividing out_h -> fallback
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 32) is None
+    # rows axis not dividing out_h is fine now (bands pad + crop), but a
+    # non-dividing INPUT height still falls back (all_gather row sharding)
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 32) == (2, 4)
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 30) is None
     # more devices than visible -> fallback
     assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="64,1"), 32) is None
     # auto on the 8-device CPU mesh

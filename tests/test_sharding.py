@@ -115,6 +115,32 @@ def test_sharded_with_tonemap_and_wrap_bicubic():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_sharded_nondivisible_out_h():
+    # out_h=30 with rows=4: bands pad to 8 rows each and the result is
+    # cropped — results must exactly match the single-device path.
+    mesh = pmesh.make_mesh(batch=2, rows=4)
+    B, out_h, out_w = 2, 30, 48
+    src = smooth_batch(B, 32, 64, 3, seed=9)
+    rot = rotation_matrix_degrees(10.0, 3.0, -2.0)
+    sharded_src = pbatch.shard_batch(jnp.asarray(src), mesh)
+    got = np.asarray(
+        pbatch.sharded_remap_step(
+            sharded_src, jnp.asarray(rot), mesh=mesh,
+            in_lens=EQUIRECT, out_lens=RECT,
+            out_h=out_h, out_w=out_w, interp="bilinear", n_samples=1,
+        )
+    )
+    assert got.shape == (B, out_h, out_w, 3)
+    want = np.asarray(
+        remap.remap_batch_jit(
+            jnp.asarray(src), jnp.asarray(rot),
+            in_lens=EQUIRECT, out_lens=RECT,
+            out_h=out_h, out_w=out_w, interp="bilinear", n_samples=1,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_row_band_offsets():
     """remap_image row banding composes to the full image (traced offsets)."""
     src = smooth_batch(1, 32, 64, 3, seed=3)[0]
@@ -140,13 +166,6 @@ def test_row_band_offsets():
 def test_mesh_validation():
     with pytest.raises(ValueError, match="devices"):
         pmesh.make_mesh(batch=3, rows=3)
-    mesh = pmesh.make_mesh(batch=2, rows=4)
-    with pytest.raises(ValueError, match="not divisible"):
-        pbatch.sharded_remap_step(
-            jnp.zeros((2, 8, 8, 3)), None,
-            mesh=mesh, in_lens=EQUIRECT, out_lens=RECT,
-            out_h=30, out_w=8, interp="nearest", n_samples=1,
-        )
 
 
 def test_sharded_tall_window_equisolid():
