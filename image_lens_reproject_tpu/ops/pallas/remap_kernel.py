@@ -9,12 +9,12 @@ an (8, L) operand). This kernel is built around it:
 
   * The output is tiled (8 x 128). An XLA prepass computes every tile's
     source-texel window (exact tap extremes) and quantizes it onto a
-    pre-built grid of overlapping source blocks (the roll-trick stack:
-    each block covers 2x the quantization step, so any window whose span
-    fits one step lies inside exactly one block).
-  * Blocks are stored TRANSPOSED (source columns on sublanes, rows on
-    lanes): reading one source column is a width-1 dynamic sublane slice —
-    the only dynamic addressing mode that compiles on this toolchain.
+    (CB, rb) page grid of the TRANSPOSED padded source (columns on
+    sublanes, rows on lanes): each tile's 2*CB x 2*rb window is four
+    adjacent pages, fetched by four BlockSpecs over the same array with
+    prepass-derived page indices. Reading one source column is a width-1
+    dynamic sublane slice (the only dynamic addressing mode that compiles
+    on this toolchain) from the predicate-selected page pair.
   * Per tile the kernel scans the window's source columns in
     SCAN_UNROLL-column steps (sized ~= the p99 tile window so most tiles
     scan once). Per step: the step's columns are fetched (width-1 dynamic
@@ -165,13 +165,13 @@ _TILING_CANDIDATES = tuple(
 )
 
 # Cost-model constants (ns per scanned column unless noted; fitted to v5e
-# measurements — headline: 779 Mpix/s at tr=32/ng=1/su=32 -> ~164 ns/col.
+# measurements — headline: 1185 Mpix/s at tr=32/ng=1/su=32 -> ~108 ns/col.
 # Ranking-only; the runtime prepass guards exactness).
 _PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
-_KERNEL_BASE_NS = 36.0    # per-column fetch + loop share
-_KERNEL_ROLL_NS = 7.0     # per-sub-tile roll per column
-_KERNEL_COLW_NS = 7.0     # per-sub-tile column-weight selects per column
-_KERNEL_GROUP_NS = 4.0    # per (group x tap) masked-gather work (x n_sub)
+_KERNEL_BASE_NS = 24.0    # per-column fetch + loop share
+_KERNEL_ROLL_NS = 4.5     # per-sub-tile roll per column
+_KERNEL_COLW_NS = 4.5     # per-sub-tile column-weight selects per column
+_KERNEL_GROUP_NS = 2.6    # per (group x tap) masked-gather work (x n_sub)
 _KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure)
 _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 
@@ -433,28 +433,6 @@ def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, i
     return x, h_pad, w_pad
 
 
-def _stack_blocks(padded: Array, rb: int = RB) -> Tuple[Array, int, int]:
-    """(C, H_pad, W_pad) -> transposed overlapping blocks.
-
-    Returns (blocks (n_rp*n_cp, C, 2CB, 2rb), n_rp, n_cp) where block
-    (br, bc) holds padded[:, br*rb:(br+2)*rb, bc*CB:(bc+2)*CB] transposed
-    to (C, cols, rows). Built with the roll trick: two shifted reshapes
-    concatenated — pure copies, XLA-fused.
-    """
-    c, h_pad, w_pad = padded.shape
-    n_r = h_pad // rb
-    n_c = w_pad // CB
-    a = padded.reshape(c, n_r, rb, w_pad)
-    rows2 = jnp.concatenate([a[:, :-1], a[:, 1:]], axis=2)  # (C, n_rp, 2rb, W)
-    n_rp = n_r - 1
-    b = rows2.reshape(c, n_rp, 2 * rb, n_c, CB)
-    cols2 = jnp.concatenate([b[:, :, :, :-1, :], b[:, :, :, 1:, :]], axis=4)
-    n_cp = n_c - 1
-    # (C, n_rp, 2rb, n_cp, 2CB) -> (n_rp, n_cp, C, 2CB, 2rb)
-    blocks = jnp.transpose(cols2, (1, 3, 0, 4, 2))
-    return blocks.reshape(n_rp * n_cp, c, 2 * CB, 2 * rb), n_rp, n_cp
-
-
 def _field_taps(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, off_x, off_y, interp, wrap, n_ty, n_tx, tile_rows, row0=0,
@@ -622,7 +600,6 @@ def _prepass(
     # past the verified chunk range fall back.
     ok_c = jnp.logical_and(ok_c, n_scan <= n_chunks * su)
 
-    blk = (rblk * n_cp + cblk).astype(jnp.int32)
     ok_all = jnp.logical_and(ok_r, ok_c)
     if wrap:
         # Monotonized columns must stay inside the physical wrap margin.
@@ -635,19 +612,21 @@ def _prepass(
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
     # at 4K grid sizes). Layout: (n_ty, n_tx * SC), field i at [ty, tx*SC+i];
-    # slots 6..6+n_sub-1 hold the per-sub-tile roll shifts and slots
+    # slots 0/5 are the tile's (row, col) PAGE indices into the transposed
+    # source (the four in_specs fetch pages (r|r+1, c|c+1)); slots
+    # 6..6+n_sub-1 hold the per-sub-tile roll shifts and slots
     # 6+n_sub..6+2*n_sub-1 their per-step drifts.
     fields = [
-        blk,
+        rblk.astype(jnp.int32),
         r_base.astype(jnp.int32),
         c_start.astype(jnp.int32),
         n_scan.astype(jnp.int32),
         seam.astype(jnp.int32),
-        c_base.astype(jnp.int32),
+        cblk.astype(jnp.int32),
     ] + [row_shift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)] \
       + [row_drift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)]
-    fields += [jnp.zeros_like(blk)] * (SC - len(fields))
-    scalars = jnp.stack(fields, axis=-1).reshape(blk.shape[0], blk.shape[1] * SC)
+    fields += [jnp.zeros_like(rblk)] * (SC - len(fields))
+    scalars = jnp.stack(fields, axis=-1).reshape(rblk.shape[0], rblk.shape[1] * SC)
     return scalars, jnp.logical_not(ok_all)
 
 
@@ -660,14 +639,14 @@ def _make_kernel(
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
     SU = scan_unroll
 
-    def kernel(scalars_s, rot_ref, blk_ref, out_ref):
+    def kernel(scalars_s, rot_ref, p00_ref, p01_ref, p10_ref, p11_ref, out_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
         r_base = scalars_s[ty, tx * SC + 1]
         c_start = scalars_s[ty, tx * SC + 2]
         n_scan = scalars_s[ty, tx * SC + 3]
         seam = scalars_s[ty, tx * SC + 4] > 0
-        c_base = scalars_s[ty, tx * SC + 5]
+        c_base = scalars_s[ty, tx * SC + 5] * CB
         # Per-sub-tile roll shifts (slots 6..) and per-step drifts
         # (slots 6+n_sub..): shift_h(step) = shifts[h] + step * drifts[h].
         shifts = [scalars_s[ty, tx * SC + 6 + h] for h in range(n_sub)]
@@ -750,18 +729,30 @@ def _make_kernel(
             # minor axis first. NOTE: dynamic NEGATIVE roll shifts are
             # miscompiled on real TPUs (correct in interpret mode); use the
             # positive equivalent.
-            subs = [
+            # The tile's window lives on a 2x2 grid of (CB, rb) source
+            # pages; each column read picks the left/right page pair by a
+            # scalar predicate and concatenates the top/bottom row pages.
+            cos = [
                 jnp.clip(c_start + i * SU + u - c_base, 0, 2 * CB - 1)
                 for u in range(SU)
             ]
-            colvs = jnp.concatenate(
-                [
-                    blk_ref[0, c, pl.ds(subs[u], 1), :]
-                    for u in range(SU)
-                    for c in range(c_ch)
-                ],
-                axis=0,
-            )  # (SU * C, 2rb)
+            parts = []
+            for u in range(SU):
+                hi_c = cos[u] >= CB
+                co = cos[u] - jnp.where(hi_c, CB, 0)
+                for c in range(c_ch):
+                    top = jnp.where(
+                        hi_c,
+                        p01_ref[0, 0, c, pl.ds(co, 1), :],
+                        p00_ref[0, 0, c, pl.ds(co, 1), :],
+                    )
+                    bot = jnp.where(
+                        hi_c,
+                        p11_ref[0, 0, c, pl.ds(co, 1), :],
+                        p10_ref[0, 0, c, pl.ds(co, 1), :],
+                    )
+                    parts.append(jnp.concatenate([top, bot], axis=1))
+            colvs = jnp.concatenate(parts, axis=0)  # (SU * C, 2rb)
             coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SU * C)
             # One roll per sub-tile aligns that sub-tile's SHEARED window
             # start (shift + step*drift) to sublane 0, so each sub-tile
@@ -932,17 +923,39 @@ def _remap_pallas_one(
 
     def pallas_branch(operands):
         padded_, rot_ = operands
-        blocks, _, _ = _stack_blocks(padded_, rb)
+        # The tile's 2*CB x 2*rb window is fetched as FOUR non-overlapping
+        # (CB, rb) pages of the transposed padded source (cols on
+        # sublanes) — page indices come straight from the prepass scalars.
+        # This replaces the old materialized stack of 2x-overlapping
+        # blocks, which duplicated the source 4x in HBM and dominated the
+        # frame time (~6 ms at 4K) over the kernel itself. The 5-D page
+        # array makes the block's trailing dims equal the array dims,
+        # which the Mosaic lowering requires for a 40/160-deep minor dim.
+        n_r_pages = padded_.shape[1] // rb
+        n_c_pages = padded_.shape[2] // CB
+        pages = jnp.transpose(
+            padded_.reshape(c_ch, n_r_pages, rb, n_c_pages, CB),
+            (3, 1, 0, 4, 2),
+        )  # (n_c_pages, n_r_pages, C, CB, rb)
+
+        def page_spec(dr, dc):
+            return pl.BlockSpec(
+                (1, 1, c_ch, CB, rb),
+                lambda ty, tx, s, dr=dr, dc=dc: (
+                    s[ty, tx * SC + 5] + dc, s[ty, tx * SC] + dr, 0, 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            )
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (1, c_ch, 2 * CB, 2 * rb),
-                    lambda ty, tx, scalars_s: (scalars_s[ty, tx * SC], 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                page_spec(0, 0),
+                page_spec(0, 1),
+                page_spec(1, 0),
+                page_spec(1, 1),
             ],
             out_specs=pl.BlockSpec(
                 (c_ch, tile_rows, TC),
@@ -957,7 +970,7 @@ def _remap_pallas_one(
             ),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
-        )(scalars, rot_, blocks)
+        )(scalars, rot_, pages, pages, pages, pages)
 
         # Patch overflow tiles with exact XLA-sampled values. Sampling is
         # VECTORIZED in fixed-size chunks over the bad-tile list (a
