@@ -83,7 +83,7 @@ def main() -> int:
 
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
 
-    tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
+    tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
         in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
     )
     # The prepass depends only on the config; a frame stream computes it
@@ -92,6 +92,7 @@ def main() -> int:
         rot, in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
+        cb=cb,
     )
 
     @jax.jit
@@ -115,6 +116,7 @@ def main() -> int:
             n_groups=n_groups,
             rb=rb,
             scan_unroll=scan_unroll,
+            cb=cb,
         )
 
     # Compile + first-fetch handshake (may take minutes on tunneled chips).
@@ -176,6 +178,7 @@ def main() -> int:
         "n_groups": n_groups,
         "rb": rb,
         "scan_unroll": scan_unroll,
+        "cb": cb,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),
@@ -225,11 +228,12 @@ def _quick_verify():
     try:
         for il, ol, interp, r, (ih, iw), (oh, ow) in cases:
             src = smooth(ih, iw)
-            tr, ng, rb, su = RK.suggest_tiling(il, ol, ih, iw, oh, ow, r, interp)
+            tr, ng, rb, su, cbv = RK.suggest_tiling(il, ol, ih, iw, oh, ow, r, interp)
             got = np.asarray(RK.remap_pallas(
                 jnp.asarray(src), None if r is None else jnp.asarray(r),
                 in_lens=il, out_lens=ol, out_h=oh, out_w=ow, interp=interp,
                 n_samples=1, tile_rows=tr, n_groups=ng, rb=rb, scan_unroll=su,
+                cb=cbv,
             ))
             want = oracle.oracle_remap(
                 src, r, in_lens=il, out_lens=ol,

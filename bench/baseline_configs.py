@@ -55,7 +55,7 @@ def main() -> int:
                      exposure=1.0, reinhard=1.0, channels=3):
         src = jnp.asarray(rng.uniform(0, 2, (ih, iw, channels)).astype(np.float32))
         rot = None if rot_np is None else jnp.asarray(rot_np)
-        tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
+        tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
         )
         # Planned prepass, as the pipeline does for a frame stream.
@@ -63,7 +63,7 @@ def main() -> int:
             rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-            scan_unroll=scan_unroll,
+            scan_unroll=scan_unroll, cb=cb,
         )
 
         def fn(s):
@@ -72,7 +72,7 @@ def main() -> int:
                 in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                scan_unroll=scan_unroll,
+                scan_unroll=scan_unroll, cb=cb,
             )
 
         f = jax.jit(fn)
@@ -81,7 +81,7 @@ def main() -> int:
         print(json.dumps({
             "config": name, "mpix_per_s": round(mpixps, 1),
             "tile_rows": tile_rows, "groups": n_groups, "rb": rb,
-            "scan_unroll": scan_unroll, "interp": interp,
+            "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
         }), flush=True)
 
     RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)

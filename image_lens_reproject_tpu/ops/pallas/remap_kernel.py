@@ -61,7 +61,7 @@ RB = 40     # default source row-window quantization step; blocks span 2*rb
             # rows. Per-launch ``rb`` overrides admit tall windows (fisheye
             # <-> equirect polar arcs need 100-200-row spans); the group
             # budget scales with it (see _max_groups).
-CB = 256    # source col-window quantization step; blocks span 2*CB cols
+CB = 256    # source col-window quantization step; a tile window spans 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 SCAN_UNROLL = 32  # source columns per scan step (~=p99 tile window: most tiles scan once)
@@ -186,8 +186,8 @@ def suggest_tiling(
     rotation_np,
     interp: str,
     channels: int = 3,
-) -> Tuple[int, int, int, int]:
-    """Host-side heuristic -> (tile_rows, n_groups, rb, scan_unroll).
+) -> Tuple[int, int, int, int, int]:
+    """Host-side heuristic -> (tile_rows, n_groups, rb, scan_unroll, cb).
 
     Taller tiles amortize per-column fetches; more groups (and a taller
     row-block ``rb``) admit taller row spans at extra gather cost.
@@ -203,7 +203,6 @@ def suggest_tiling(
     tiling or the XLA path. Conservative: the device prepass still guards
     exactness, so a wrong suggestion costs performance, never correctness.
     """
-    del channels  # kept for API stability; no channel-dependent limits
     try:
         step = max(1, out_w // 256)
         cols = np.arange(0, out_w, step, dtype=np.float32)
@@ -215,13 +214,25 @@ def suggest_tiling(
             in_lens, out_lens, in_h, in_w, cx[None, :], cy[:, None],
             rot, out_h, out_w, xp=np,
         )
-        sy = np.clip(np.broadcast_to(sy, (rows.size, cols.size)), -4.0, in_h + 4.0)
+        sy = np.broadcast_to(sy, (rows.size, cols.size))
         wrap = wrap_mode_for_input(in_lens)
         sx = np.broadcast_to(sx, (rows.size, cols.size))
         if wrap:
             sx = np.mod(sx, np.float32(in_w))
+        else:
+            # Clamp-mode taps collapse outside the frame on the device;
+            # leaving coordinates unclamped here inflates border-tile
+            # windows and mis-marks them as overflow.
+            sx = np.clip(sx, 0.0, in_w - 1.0)
         sx = np.clip(sx, -4.0, in_w + 4.0)
         taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
+        # Exact per-sample row-tap extremes (trunc + clamp), as the device
+        # prepass computes them — point extremes + additive slack over-mark
+        # clamped border tiles.
+        off_lo, off_hi = {"nearest": (0.5, 0.5), "bilinear": (0.0, 1.0),
+                          "bicubic": (-1.0, 2.0)}[interp]
+        ty_lo = np.clip(np.trunc(sy + np.float32(off_lo)), 0, in_h - 1)
+        ty_hi = np.clip(np.trunc(sy + np.float32(off_hi)), 0, in_h - 1)
 
         # Per 8-output-row band (rows sampled every 2 -> 4 samples/band),
         # per 128-col tile column: row/col extremes, vectorized.
@@ -237,13 +248,15 @@ def suggest_tiling(
                 a = np.pad(a, pad, mode="edge")
             return a
 
-        sy_g = _pad_group(_pad_group(sy, bnd, 0), cchunk, 1)
+        tylo_g = _pad_group(_pad_group(ty_lo, bnd, 0), cchunk, 1)
+        tyhi_g = _pad_group(_pad_group(ty_hi, bnd, 0), cchunk, 1)
         sx_g = _pad_group(_pad_group(sx, bnd, 0), cchunk, 1)
-        nb, nc = sy_g.shape[0] // bnd, sy_g.shape[1] // cchunk
-        sy_g = sy_g.reshape(nb, bnd, nc, cchunk)
+        nb, nc = tylo_g.shape[0] // bnd, tylo_g.shape[1] // cchunk
+        tylo_g = tylo_g.reshape(nb, bnd, nc, cchunk)
+        tyhi_g = tyhi_g.reshape(nb, bnd, nc, cchunk)
         sx_g = sx_g.reshape(nb, bnd, nc, cchunk)
-        bmin = sy_g.min(axis=(1, 3))  # (nb, nc) per-band row extremes
-        bmax = sy_g.max(axis=(1, 3))
+        bmin = tylo_g.min(axis=(1, 3))  # (nb, nc) per-band row-tap extremes
+        bmax = tyhi_g.max(axis=(1, 3))
         cmin = sx_g.min(axis=(1, 3))
         cmax = sx_g.max(axis=(1, 3))
         # Seam tiles: emulate the prepass monotonize (cols below W/2 get +W).
@@ -256,12 +269,13 @@ def suggest_tiling(
         slack = taps + 2 * margin + 2
 
         # Flattened per-sample fields for the sheared-prepass simulation.
-        sy_s = sy_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)
+        tylo_s = tylo_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)
+        tyhi_s = tyhi_g.transpose(0, 2, 1, 3)
         sx_s = sx_g.transpose(0, 2, 1, 3)
         if wrap:
             sx_s_adj = np.where(sx_s < in_w / 2, sx_s + in_w, sx_s)
 
-        def candidate_stats(tr, ng, rb):
+        def candidate_stats(tr, ng, rb, cbb):
             q = max(1, tr // 8)
             nt = -(-nb // q)
 
@@ -273,7 +287,7 @@ def suggest_tiling(
             # after rb quantization: guaranteed budget is rb columns.
             t_span = tgroup(bmax, "max") - tgroup(bmin, "min")
             blk_over = t_span + slack > rb
-            # Column window must fit the (fixed) 2*CB block: budget CB.
+            # Column window must fit the 2*cbb page pair: budget cbb.
             c_span = tgroup(cmax, "max") - tgroup(cmin, "min")
             cmin_t = tgroup(cmin, "min")
             if wrap:
@@ -281,10 +295,10 @@ def suggest_tiling(
                 use_adj = c_span > in_w / 2
                 c_span = np.where(use_adj, c_span_a, c_span)
                 cmin_t = np.where(use_adj, tgroup(cmin_a, "min"), cmin_t)
-            col_over = c_span + slack > CB
+            col_over = c_span + slack > cbb
             window = c_span + slack  # scanned-column count per good tile
             if float((blk_over | col_over).mean()) > 0.55:
-                return 1.0, SCAN_UNROLL, float(CB)  # candidate dead anyway
+                return [(1.0, SCAN_UNROLL, float(cbb))]  # candidate dead
             # The unrolled scan step's live values scale with
             # ng*taps*su*n_sub; past ~10k the Mosaic stack allocator blows
             # the 16MB scoped-VMEM limit at COMPILE time (no runtime
@@ -310,7 +324,8 @@ def suggest_tiling(
                 ).reshape(nt, q, nc, bnd, cchunk)
 
             sxg = sgroup(sxx)
-            syg = sgroup(sy_s)
+            sylo_g = sgroup(tylo_s)
+            syhi_g = sgroup(tyhi_s)
 
             def sim(su):
                 # Simulate the device prepass's sheared per-chunk
@@ -318,7 +333,7 @@ def suggest_tiling(
                 # extremes into scan chunks, fit the linear drift from the
                 # endpoint chunks, and check every chunk's residual against
                 # ng*8 — the same computation _prepass performs exactly.
-                nch = min(16, -(-2 * CB // su))
+                nch = min(16, -(-2 * cbb // su))
                 j_s = (sxg - cmin_t[:, None, :, None, None]) / su
                 j_s = np.clip(j_s.astype(np.int64), 0, nch - 1)
                 big = np.float32(1 << 28)
@@ -329,8 +344,8 @@ def suggest_tiling(
                 ) * nch + j_s
                 rminc = np.full(nt * q * nc * nch, big, np.float32)
                 rmaxc = np.full(nt * q * nc * nch, -big, np.float32)
-                np.minimum.at(rminc, flat_idx.ravel(), syg.ravel())
-                np.maximum.at(rmaxc, flat_idx.ravel(), syg.ravel())
+                np.minimum.at(rminc, flat_idx.ravel(), sylo_g.ravel())
+                np.maximum.at(rmaxc, flat_idx.ravel(), syhi_g.ravel())
                 rminc = rminc.reshape(nt, q, nc, nch)
                 rmaxc = rmaxc.reshape(nt, q, nc, nch)
                 valid = rminc < big
@@ -345,18 +360,19 @@ def suggest_tiling(
                 resid = np.where(
                     valid, rmaxc - jj * d[..., None] - shift0[..., None], -big
                 ).max(-1)
-                # Rows are sampled every 2 (bands under-read spans by 6/8);
-                # integer tap span is at most floor(span) + taps, and the
-                # prepass adds 2*margin + 1 (see _prepass ok_span).
+                # resid is already a TAP-extreme span; rows are sampled
+                # every 2, so extend by a derivative estimate for the
+                # unsampled rows, then apply the device's 2*margin + 1
+                # (see _prepass ok_span).
+                deriv = np.maximum(resid - (taps - 1), 0.0) / 3.0
                 sub_over = (
-                    np.floor(resid * np.float32(8.0 / 6.0))
-                    + taps + 2 * margin + 1 > ng * 8
+                    resid + deriv + 2 * margin + 1 > ng * 8
                 ).max(axis=1) > 0
                 over = sub_over | blk_over | col_over
                 good = ~over
                 scanned = (
                     float((np.ceil(window[good] / su) * su).mean())
-                    if good.any() else float(CB)
+                    if good.any() else float(cbb)
                 )
                 return float(over.mean()), su, scanned
 
@@ -378,26 +394,35 @@ def suggest_tiling(
         for tr, ng, rb in _TILING_CANDIDATES:
             if ng > _max_groups(rb):
                 continue
-            for f, su, scanned in candidate_stats(tr, ng, rb):
-                if f > 0.55:  # sampled estimate; runtime patch cap is 60%
-                    continue
-                n_sub = max(1, tr // 8)
-                grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
-                col_ns = _KERNEL_BASE_NS + n_sub * (
-                    _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
-                )
-                kern = scanned * col_ns / (tr * TC)
-                cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
-                if best is None or cost < best[0]:
-                    best = (cost, tr, ng, rb, su)
+            cb_opts = [CB]
+            # Wide (radial-stretch) windows: a 512-column page admits them
+            # if the four double-buffered pages still fit VMEM comfortably.
+            if 4 * 2 * channels * 2 * CB * rb * 4 <= 8 * 2 ** 20:
+                cb_opts.append(2 * CB)
+            for cbb in cb_opts:
+                for f, su, scanned in candidate_stats(tr, ng, rb, cbb):
+                    if f > 0.55:  # sampled estimate; runtime cap is 60%
+                        continue
+                    n_sub = max(1, tr // 8)
+                    grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
+                    col_ns = _KERNEL_BASE_NS + n_sub * (
+                        _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
+                    )
+                    kern = scanned * col_ns / (tr * TC)
+                    # Bigger pages tax the per-tile DMA; nudge so cb=512
+                    # only wins when it meaningfully cuts the overflow.
+                    kern *= 1.0 + 0.15 * (cbb // CB - 1)
+                    cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
+                    if best is None or cost < best[0]:
+                        best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
-            return best[1], best[2], best[3], best[4]
+            return best[1], best[2], best[3], best[4], best[5]
     except Exception:
         pass
-    return 8, 2, RB, SCAN_UNROLL
+    return 8, 2, RB, SCAN_UNROLL, CB
 
 
-def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, int]:
+def _pad_source(src_chw: Array, wrap: bool, rb: int = RB, cb: int = CB) -> Tuple[Array, int, int]:
     """Pad (C, H, W) with clamp/wrap margins; round to block multiples.
 
     Returns (padded (C, H_pad, W_pad), h_pad, w_pad). Index mapping:
@@ -417,7 +442,7 @@ def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, i
 
     if wrap:
         left = x[:, :, -PAD:]  # wrapped continuation (left pad unused in wrap)
-        right_margin = CB + 2 * PAD + 2 * MARGIN
+        right_margin = cb + 2 * PAD + 2 * MARGIN
         reps = -(-right_margin // w)
         right = jnp.concatenate([x[:, :, :w]] * reps, axis=2)[:, :, :right_margin]
     else:
@@ -425,7 +450,7 @@ def _pad_source(src_chw: Array, wrap: bool, rb: int = RB) -> Tuple[Array, int, i
         right = jnp.repeat(x[:, :, -1:], PAD, axis=2)
     x = jnp.concatenate([left, x, right], axis=2)
     w_now = x.shape[2]
-    w_pad = max(_ceil_to(w_now, CB), 2 * CB)
+    w_pad = max(_ceil_to(w_now, cb), 2 * cb)
     if w_pad > w_now:
         x = jnp.concatenate(
             [x, jnp.repeat(x[:, :, -1:], w_pad - w_now, axis=2)], axis=2
@@ -487,6 +512,7 @@ def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
+    cb: int = CB,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
@@ -547,7 +573,7 @@ def _prepass(
     # a pure admission/performance feature.
     c_start = cmin - margin
     su = scan_unroll
-    n_chunks = min(16, -(-2 * CB // su))
+    n_chunks = min(16, -(-2 * cb // su))
     big = jnp.int32(1 << 28)
     # Per-pixel scan-chunk range (a pixel's taps span <= 2 chunks).
     c_start_px = jnp.repeat(jnp.repeat(c_start, tile_rows, axis=0), TC, axis=1)
@@ -585,8 +611,8 @@ def _prepass(
     )
     row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
     row_drift_sub = drift
-    cblk = jnp.clip((cmin - margin) // CB, 0, max(n_cp - 1, 0))
-    c_base = cblk * CB
+    cblk = jnp.clip((cmin - margin) // cb, 0, max(n_cp - 1, 0))
+    c_base = cblk * cb
     c_start = cmin - margin
     # Pad the scan length to the kernel's unroll factor: the extra columns
     # sit beyond every tap (weights identically zero) and the in-kernel
@@ -594,7 +620,7 @@ def _prepass(
     n_scan = cmax - cmin + 2 * margin + 1
     n_scan = ((n_scan + scan_unroll - 1) // scan_unroll) * scan_unroll
     ok_c = jnp.logical_and(
-        cmax + margin + 1 - c_base <= 2 * CB, c_start - c_base >= 0
+        cmax + margin + 1 - c_base <= 2 * cb, c_start - c_base >= 0
     )
     # The sheared windows were verified per scan chunk; tiles scanning
     # past the verified chunk range fall back.
@@ -603,7 +629,7 @@ def _prepass(
     ok_all = jnp.logical_and(ok_r, ok_c)
     if wrap:
         # Monotonized columns must stay inside the physical wrap margin.
-        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + CB + PAD + margin)
+        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + cb + PAD + margin)
     # Overflow tiles still run through the kernel (their output is patched
     # afterwards); clamp their scan length so they cost one unroll step
     # instead of scanning a frame-wide window of garbage.
@@ -633,7 +659,7 @@ def _prepass(
 def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
-    scan_unroll: int = SCAN_UNROLL,
+    scan_unroll: int = SCAN_UNROLL, cb: int = CB,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -646,7 +672,7 @@ def _make_kernel(
         c_start = scalars_s[ty, tx * SC + 2]
         n_scan = scalars_s[ty, tx * SC + 3]
         seam = scalars_s[ty, tx * SC + 4] > 0
-        c_base = scalars_s[ty, tx * SC + 5] * CB
+        c_base = scalars_s[ty, tx * SC + 5] * cb
         # Per-sub-tile roll shifts (slots 6..) and per-step drifts
         # (slots 6+n_sub..): shift_h(step) = shifts[h] + step * drifts[h].
         shifts = [scalars_s[ty, tx * SC + 6 + h] for h in range(n_sub)]
@@ -733,13 +759,13 @@ def _make_kernel(
             # pages; each column read picks the left/right page pair by a
             # scalar predicate and concatenates the top/bottom row pages.
             cos = [
-                jnp.clip(c_start + i * SU + u - c_base, 0, 2 * CB - 1)
+                jnp.clip(c_start + i * SU + u - c_base, 0, 2 * cb - 1)
                 for u in range(SU)
             ]
             parts = []
             for u in range(SU):
-                hi_c = cos[u] >= CB
-                co = cos[u] - jnp.where(hi_c, CB, 0)
+                hi_c = cos[u] >= cb
+                co = cos[u] - jnp.where(hi_c, cb, 0)
                 for c in range(c_ch):
                     top = jnp.where(
                         hi_c,
@@ -845,6 +871,7 @@ def _remap_pallas_one(
     n_groups: int = 0,
     rb: int = RB,
     scan_unroll: int = 0,
+    cb: int = 0,
     shared=None,
     row0=0,
     band_rows: int = 0,
@@ -865,6 +892,8 @@ def _remap_pallas_one(
     n_groups = min(n_groups, _max_groups(rb))
     if scan_unroll <= 0:
         scan_unroll = SCAN_UNROLL
+    if cb <= 0:
+        cb = CB
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
     wrap = wrap_mode_for_input(in_lens)
@@ -876,13 +905,14 @@ def _remap_pallas_one(
 
     if shared is None:
         src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb)
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb, cb)
         n_rp = h_pad // rb - 1
-        n_cp = w_pad // CB - 1
+        n_cp = w_pad // cb - 1
         scalars, bad = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
             tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
+            cb=cb,
         )
     else:
         padded, scalars, bad = shared
@@ -918,7 +948,7 @@ def _remap_pallas_one(
     kernel = _make_kernel(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
         interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, cb=cb,
     )
 
     def pallas_branch(operands):
@@ -932,15 +962,15 @@ def _remap_pallas_one(
         # array makes the block's trailing dims equal the array dims,
         # which the Mosaic lowering requires for a 40/160-deep minor dim.
         n_r_pages = padded_.shape[1] // rb
-        n_c_pages = padded_.shape[2] // CB
+        n_c_pages = padded_.shape[2] // cb
         pages = jnp.transpose(
-            padded_.reshape(c_ch, n_r_pages, rb, n_c_pages, CB),
+            padded_.reshape(c_ch, n_r_pages, rb, n_c_pages, cb),
             (3, 1, 0, 4, 2),
         )  # (n_c_pages, n_r_pages, C, CB, rb)
 
         def page_spec(dr, dc):
             return pl.BlockSpec(
-                (1, 1, c_ch, CB, rb),
+                (1, 1, c_ch, cb, rb),
                 lambda ty, tx, s, dr=dr, dc=dc: (
                     s[ty, tx * SC + 5] + dc, s[ty, tx * SC] + dr, 0, 0, 0
                 ),
@@ -1092,6 +1122,7 @@ def make_prepass(
     n_groups: int = 0,
     rb: int = RB,
     scan_unroll: int = 0,
+    cb: int = 0,
     row0=0,
     band_rows: int = 0,
 ) -> Tuple[Array, Array]:
@@ -1107,6 +1138,8 @@ def make_prepass(
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
     n_groups = min(n_groups, _max_groups(rb))
+    if cb <= 0:
+        cb = CB
     if band_rows <= 0:
         band_rows = out_h
     n_ty = -(-band_rows // tile_rows)
@@ -1116,16 +1149,17 @@ def make_prepass(
     h_pad = in_h + PAD + (_ceil_to(in_h + 2 * PAD, rb) - (in_h + PAD))
     h_pad = max(h_pad, 2 * rb)
     if wrap:
-        w_now = in_w + PAD + (CB + 2 * PAD + 2 * MARGIN)
+        w_now = in_w + PAD + (cb + 2 * PAD + 2 * MARGIN)
     else:
         w_now = in_w + 2 * PAD
-    w_pad = max(_ceil_to(w_now, CB), 2 * CB)
+    w_pad = max(_ceil_to(w_now, cb), 2 * cb)
     return _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, _prepass_offsets(n_samples), interp, wrap, n_ty, n_tx,
-        h_pad // rb - 1, w_pad // CB - 1, tile_rows, n_groups,
+        h_pad // rb - 1, w_pad // cb - 1, tile_rows, n_groups,
         row0=row0, rb=rb,
         scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
+        cb=cb,
     )
 
 
@@ -1145,6 +1179,7 @@ def remap_pallas(
     n_groups: int = 0,
     rb: int = RB,
     scan_unroll: int = 0,
+    cb: int = 0,
     row0=0,
     band_rows: int = 0,
     prepass: Optional[Tuple[Array, Array]] = None,
@@ -1166,10 +1201,11 @@ def remap_pallas(
     # unions the windows over the extreme stratified offsets bounds every
     # launch's taps.
     shared = None
+    cb_eff = cb if cb > 0 else CB
     if prepass is not None or n_samples > 1:
         wrap = wrap_mode_for_input(in_lens)
         src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb)
+        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb, cb_eff)
         if prepass is not None:
             scalars, bad = prepass
         else:
@@ -1183,9 +1219,10 @@ def remap_pallas(
             scalars, bad = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
                 rotation, _prepass_offsets(n_samples), interp, wrap,
-                n_ty, n_tx, h_pad // rb - 1, w_pad // CB - 1, tile_rows,
+                n_ty, n_tx, h_pad // rb - 1, w_pad // cb_eff - 1, tile_rows,
                 n_groups_eff, row0=row0, rb=rb,
                 scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
+                cb=cb_eff,
             )
         shared = (padded, scalars, bad)
 
@@ -1198,7 +1235,7 @@ def remap_pallas(
                 out_h=out_h, out_w=out_w, interp=interp,
                 off_x=float(off_x), off_y=float(off_y),
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                scan_unroll=scan_unroll,
+                scan_unroll=scan_unroll, cb=cb,
                 shared=shared, row0=row0, band_rows=band_rows,
             )
             acc = out if acc is None else acc + out

@@ -36,6 +36,7 @@ from . import remap as remap_ops
         "n_groups",
         "rb",
         "scan_unroll",
+        "cb",
     ),
 )
 def remap_tonemap(
@@ -54,6 +55,7 @@ def remap_tonemap(
     n_groups: int = 0,
     rb: int = 40,
     scan_unroll: int = 0,
+    cb: int = 0,
 ) -> jax.Array:
     """(H, W, C) -> (out_h, out_w, C), remap + optional tonemap, one program."""
     use_pallas = False
@@ -83,6 +85,7 @@ def remap_tonemap(
             n_groups=n_groups,
             rb=rb,
             scan_unroll=scan_unroll,
+            cb=cb,
         )
         return out
 
@@ -105,7 +108,7 @@ def remap_tonemap(
     jax.jit,
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
-        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll",
+        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
     ),
 )
 def remap_tonemap_planned(
@@ -126,6 +129,7 @@ def remap_tonemap_planned(
     n_groups: int = 0,
     rb: int = 40,
     scan_unroll: int = 0,
+    cb: int = 0,
 ) -> jax.Array:
     """remap_tonemap with a precomputed prepass (see make_plan).
 
@@ -140,7 +144,7 @@ def remap_tonemap_planned(
         in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
         interp=interp, n_samples=n_samples, exposure=exposure,
         reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-        scan_unroll=scan_unroll, prepass=(scalars, bad),
+        scan_unroll=scan_unroll, cb=cb, prepass=(scalars, bad),
     )
 
 
@@ -148,7 +152,7 @@ def remap_tonemap_planned(
     jax.jit,
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
-        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll",
+        "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
     ),
 )
 def remap_tonemap_planned_batch(
@@ -169,6 +173,7 @@ def remap_tonemap_planned_batch(
     n_groups: int = 0,
     rb: int = 40,
     scan_unroll: int = 0,
+    cb: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) -> (B, out_h, out_w, C) in ONE device dispatch.
 
@@ -185,7 +190,7 @@ def remap_tonemap_planned_batch(
             in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
             interp=interp, n_samples=n_samples, exposure=exposure,
             reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
-            rb=rb, scan_unroll=scan_unroll, prepass=(scalars, bad),
+            rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=(scalars, bad),
         )
         return None, out
 
@@ -208,6 +213,7 @@ def make_plan(
     n_groups: int = 0,
     rb: int = 40,
     scan_unroll: int = 0,
+    cb: int = 0,
 ):
     """Device-compute the reusable (scalars, bad) prepass for one config."""
     from .pallas import remap_kernel
@@ -218,7 +224,7 @@ def make_plan(
             in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
             out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-            scan_unroll=scan_unroll,
+            scan_unroll=scan_unroll, cb=cb,
         )
     )
     return fn(rotation)

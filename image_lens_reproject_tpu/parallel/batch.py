@@ -46,6 +46,7 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "n_groups",
         "rb",
         "scan_unroll",
+        "cb",
     ),
 )
 def sharded_remap_step(
@@ -65,6 +66,7 @@ def sharded_remap_step(
     n_groups: int = 0,
     rb: int = 40,
     scan_unroll: int = 0,
+    cb: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
@@ -110,6 +112,7 @@ def sharded_remap_step(
                     n_groups=n_groups,
                     rb=rb,
                     scan_unroll=scan_unroll,
+                    cb=cb,
                     row0=row0,
                     band_rows=band,
                 )

@@ -242,7 +242,7 @@ def process_batch(
             dmesh = pmesh.make_mesh(
                 devices=jax.devices()[: b_ax * r_ax], batch=b_ax, rows=r_ax
             )
-            tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
+            tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
                 opts.input_lens, opts.output_lens,
                 int(batch.shape[1]), int(batch.shape[2]),
                 opts.out_height, opts.out_width,
@@ -272,6 +272,7 @@ def process_batch(
                 n_groups=n_groups,
                 rb=rb,
                 scan_unroll=scan_unroll,
+                cb=cb,
             )[:n_real]
         elif jax.default_backend() == "tpu":
             # TPU: per-image fused remap+tonemap (Pallas kernel path with
@@ -287,7 +288,7 @@ def process_batch(
                    None if opts.rotation is None else opts.rotation.tobytes())
             cached = _plan_cache_get(key)
             if cached is None:
-                tile_rows, n_groups, rb, scan_unroll = remap_kernel.suggest_tiling(
+                tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
                     opts.input_lens, opts.output_lens,
                     int(batch.shape[1]), int(batch.shape[2]),
                     opts.out_height, opts.out_width,
@@ -301,11 +302,11 @@ def process_batch(
                     out_h=opts.out_height, out_w=opts.out_width,
                     interp=opts.interp, n_samples=opts.n_samples,
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                    scan_unroll=scan_unroll,
+                    scan_unroll=scan_unroll, cb=cb,
                 )
-                cached = (tile_rows, n_groups, rb, scan_unroll, scalars, bad)
+                cached = (tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad)
                 _plan_cache_put(key, cached)
-            tile_rows, n_groups, rb, scan_unroll, scalars, bad = cached
+            tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms
             # of tunnel/dispatch latency, so per-image launches taxed
@@ -328,6 +329,7 @@ def process_batch(
                 n_groups=n_groups,
                 rb=rb,
                 scan_unroll=scan_unroll,
+                cb=cb,
             )
         else:
             out = remap.remap_batch_jit(

@@ -239,14 +239,14 @@ class TestKernelGolden:
         # equisolid -> equirect polar-arc config and the default block for
         # the headline equirect -> rect config.
         rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
-        tr, ng, rb, su = RK.suggest_tiling(
+        tr, ng, rb, su, cb = RK.suggest_tiling(
             EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear"
         )
         # Polar arcs need a tall row block; per-sub-tile shifts keep the
         # group count at the per-8-row slope, far below the old whole-tile
         # requirement (>= 10 groups).
         assert rb > 40 and ng >= 2
-        tr, ng, rb, su = RK.suggest_tiling(
+        tr, ng, rb, su, cb = RK.suggest_tiling(
             EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
         )
         assert rb == 40 and tr == 32 and ng <= 2
