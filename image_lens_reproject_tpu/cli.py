@@ -246,7 +246,25 @@ def _resolve_output_lens(args, ores_x: int, ores_y: int, input_lens: LensSpec) -
     return found[0]
 
 
+def _apply_platform_env() -> None:
+    """Honor ILR_PLATFORM=cpu|tpu before any JAX backend initializes.
+
+    Framework extension: this environment pins the TPU plugin via a
+    pre-imported sitecustomize, so JAX_PLATFORMS is decided before user
+    code runs; jax.config is the only override that still works. Lets CI
+    and local verification drive the full CLI on the CPU backend.
+    """
+    import os
+
+    plat = os.environ.get("ILR_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _apply_platform_env()
     args = build_parser().parse_args(argv)
     try:
         return _run(args)

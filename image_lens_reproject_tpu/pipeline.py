@@ -38,7 +38,7 @@ from .io import jpeg as jpeg_io
 from .io import png as png_io
 from .io.image import ImageBuffer
 from .models.lens import LensSpec
-from .ops import color, remap
+from .ops import color, dispatch, remap
 from .utils.tracing import trace_zone
 
 
@@ -212,6 +212,20 @@ def _plan_cache_put(key, value):
         _PLAN_CACHE.popitem(last=False)
 
 
+def _kernel_supported(batch, opts: PipelineOptions) -> bool:
+    """Static Pallas-kernel eligibility for one batch (remap_kernel.supported).
+
+    Checked on the TPU dispatch path so unsupported inputs (e.g. >8-channel
+    EXRs) fall back to the always-exact XLA pyramid, mirroring the
+    reference's single dispatch pyramid (src/reproject.cpp:348-419).
+    """
+    from .ops.pallas import remap_kernel
+
+    return remap_kernel.supported(
+        batch[0], opts.input_lens, opts.output_lens, opts.interp, opts.n_samples
+    )
+
+
 def process_batch(
     images: Sequence[np.ndarray], opts: PipelineOptions
 ) -> List[np.ndarray]:
@@ -274,7 +288,11 @@ def process_batch(
                 scan_unroll=scan_unroll,
                 cb=cb,
             )[:n_real]
-        elif jax.default_backend() == "tpu":
+        elif (
+            jax.default_backend() == "tpu"
+            and not dispatch.pure_xla_forced()
+            and _kernel_supported(batch, opts)
+        ):
             # TPU: per-image fused remap+tonemap (Pallas kernel path with
             # XLA fallback); dispatches are async so the batch pipelines.
             # The prepass depends only on the config, so it is planned once
