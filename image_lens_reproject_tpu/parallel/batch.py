@@ -47,6 +47,7 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "rb",
         "scan_unroll",
         "cb",
+        "in_h",
     ),
 )
 def sharded_remap_step(
@@ -67,16 +68,22 @@ def sharded_remap_step(
     rb: int = 40,
     scan_unroll: int = 0,
     cb: int = 0,
+    in_h: Optional[int] = None,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
-    B must divide by mesh 'batch' and H by mesh 'rows'. out_h need not
-    divide: bands are padded to ceil(out_h / rows) (the band remap clamps
-    rows past out_h to the last real row) and the result is cropped.
+    B must divide by mesh 'batch'. Neither height needs to divide by mesh
+    'rows': output bands are padded to ceil(out_h / rows) and cropped at
+    the end, and a source batch row-padded to the rows axis (pipeline
+    pads with edge-replicated rows purely for even sharding transport)
+    is sliced back to ``in_h`` after the all_gather, so the lens
+    geometry always sees the true source height.
     """
     n_rows = mesh.shape[ROWS_AXIS]
     band = -(-out_h // n_rows)
     out_h_pad = band * n_rows
+    if in_h is None:
+        in_h = int(batch.shape[1])
 
     rot_spec = P() if rotation is not None else None
 
@@ -91,8 +98,11 @@ def sharded_remap_step(
     )
 
     def step(local_src, rot):
-        # local_src: (B/b, H/r, W, C). Gather full source rows along ICI.
+        # local_src: (B/b, H_pad/r, W, C). Gather full source rows along
+        # ICI, then drop transport-only padding rows.
         full_src = jax.lax.all_gather(local_src, ROWS_AXIS, axis=1, tiled=True)
+        if full_src.shape[1] != in_h:
+            full_src = full_src[:, :in_h]
         row0 = jax.lax.axis_index(ROWS_AXIS) * band
 
         def one(img):

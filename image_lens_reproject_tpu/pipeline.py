@@ -176,12 +176,9 @@ def _resolve_mesh(opts: PipelineOptions, in_h: int):
         print(f"Warning: --mesh {b_ax}x{r_ax} needs {b_ax * r_ax} devices, "
               f"have {n_dev}; using single-device dispatch")
         return None
-    # out_h need not divide (sharded_remap_step pads + crops the bands);
-    # the input height must, for the all_gather's row sharding.
-    if in_h % r_ax != 0:
-        print(f"Warning: --mesh rows={r_ax} does not divide the input "
-              f"height {in_h}; using single-device dispatch")
-        return None
+    # Neither out_h nor in_h needs to divide the rows axis:
+    # sharded_remap_step pads + crops the output bands, and process_batch
+    # row-pads the source for sharding transport (sliced off post-gather).
     return b_ax, r_ax
 
 
@@ -264,10 +261,18 @@ def process_batch(
                 channels=int(batch.shape[3]),
             )
             n_real = batch.shape[0]
+            in_h = int(batch.shape[1])
             pad = (-n_real) % b_ax
             if pad:
                 batch = jnp.concatenate(
                     [batch, jnp.repeat(batch[-1:], pad, axis=0)]
+                )
+            pad_h = (-in_h) % r_ax
+            if pad_h:
+                # Edge-replicated rows for even rows-axis sharding only;
+                # sliced back off right after the device all_gather.
+                batch = jnp.concatenate(
+                    [batch, jnp.repeat(batch[:, -1:], pad_h, axis=1)], axis=1
                 )
             sharded = pbatch.shard_batch(batch, dmesh)
             out = pbatch.sharded_remap_step(
@@ -287,6 +292,7 @@ def process_batch(
                 rb=rb,
                 scan_unroll=scan_unroll,
                 cb=cb,
+                in_h=in_h,
             )[:n_real]
         elif (
             jax.default_backend() == "tpu"

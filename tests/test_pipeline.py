@@ -196,10 +196,10 @@ def test_mesh_resolve_fallbacks():
         output_lens=Rectilinear(35.0, 36.0, 27.0),
         out_width=64, out_height=30, interp="bilinear",
     )
-    # rows axis not dividing out_h is fine now (bands pad + crop), but a
-    # non-dividing INPUT height still falls back (all_gather row sharding)
+    # Neither out_h nor in_h needs to divide the rows axis (bands pad +
+    # crop; source rows edge-pad for transport and slice off post-gather)
     assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 32) == (2, 4)
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 30) is None
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 30) == (2, 4)
     # more devices than visible -> fallback
     assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="64,1"), 32) is None
     # auto on the 8-device CPU mesh
@@ -292,3 +292,29 @@ def test_unsupported_channels_fall_back_to_xla(monkeypatch):
     out = pl.process_batch(imgs, base_opts())
     assert calls == []
     assert out[0].shape == (16, 16, 9)
+
+
+def test_mesh_rows_nondivisible_input_height(tmp_path):
+    # VERDICT r2 #5: in_h that does not divide the rows axis must shard
+    # (edge-pad for transport, slice post-gather) and match single-device
+    # output exactly.
+    import numpy as np
+    from image_lens_reproject_tpu import pipeline as pl
+    from image_lens_reproject_tpu.models.lens import Rectilinear, full_equirectangular
+
+    imgs = [
+        np.random.default_rng(7).random((100, 64, 3)).astype(np.float32)
+    ]
+    base = dict(
+        input_lens=full_equirectangular(),
+        output_lens=Rectilinear(35.0, 36.0, 27.0),
+        out_width=64, out_height=36, interp="bilinear",
+    )
+    single = pl.process_batch(imgs, pl.PipelineOptions(**base))
+    meshed = pl.process_batch(imgs, pl.PipelineOptions(**base, mesh="1,8"))
+    assert meshed[0].shape == (36, 64, 3)
+    # ~4e-6 noise is XLA fusion differences between the banded and full
+    # coordinate programs (present for divisible heights too); the parity
+    # budget is 1e-3, and the padding rows themselves are sliced off
+    # before any geometry touches them.
+    np.testing.assert_allclose(single[0], meshed[0], atol=2e-5)
