@@ -257,7 +257,12 @@ def read_exr(path: str) -> ImageBuffer:
 
     chans, order = read_exr_channels(path)
     layout = _layout_for_names(chans)
-    n = len(order)
+    # Degenerate channel sets (e.g. Z without R/G/B) still map into the
+    # layout's fixed slots; pad the buffer to the layout's slot count so
+    # the mapping cannot index out of bounds (the C++ reads out of bounds
+    # there, src/image_formats.cpp:249,278-284 — sanitized here, missing
+    # slots are zero-filled; see docs/PARITY.md).
+    n = max(len(order), layout.num_channels)
     h, w = next(iter(chans.values())).shape
     data = np.zeros((h, w, n), dtype=np.float32)
     for name in order:
@@ -291,7 +296,8 @@ def _read_exr_native(path: str) -> Optional[ImageBuffer]:
     pixel_types = np.asarray([pt for _, pt in hdr.channels], dtype=np.int32)
     data = native.exr_decode(
         buf, offsets, hdr.compression, lines_per_block, w, h,
-        hdr.data_window[1], pixel_types, dst_slots, len(names),
+        hdr.data_window[1], pixel_types, dst_slots,
+        max(len(names), layout.num_channels),
     )
     if data is None:
         return None

