@@ -66,13 +66,13 @@ CB = 256    # source col-window quantization step; a tile window spans 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 SCAN_UNROLL = 32  # source columns per scan step (~=p99 tile window: most tiles scan once)
-SC = 16     # per-tile scalar slots in the packed prefetch array
+SC = 24     # per-tile scalar slots (6 fixed + 2 per 8-row sub-tile: tile_rows<=64)
 
 # Default row-group count per 8-row SUB-TILE (each sub-tile has its own
 # roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
 # spans up to groups*8 - 2*MARGIN - taps source rows). suggest_tiling
 # picks more groups and/or a taller rb when spans demand it.
-_GROUPS_FOR_TILE_ROWS = {8: 2, 16: 2, 24: 2, 32: 2}
+_GROUPS_FOR_TILE_ROWS = {8: 2, 16: 2, 24: 2, 32: 2, 48: 2, 64: 2}
 
 
 def _max_groups(rb: int) -> int:
@@ -155,8 +155,12 @@ def _ceil_to(x: int, m: int) -> int:
 # taller rb keeps the whole tile inside one 2*rb block).
 _TILING_CANDIDATES = tuple(
     (tr, ng, rb)
-    for tr in (8, 16, 24, 32)
+    for tr in (8, 16, 24, 32, 48, 64)
     for ng, rb in (
+        # Short rows windows (DMA fetch: usable span is 2*rb - 8, so
+        # rb=16/24 admit the smooth-mapping spans the page grid needed
+        # rb=40 for, at half the roll/fetch height).
+        (1, 16), (2, 16), (1, 24), (2, 24),
         (1, 40), (2, 40), (3, 40),
         (2, 80), (3, 80), (5, 80), (8, 80),
         (4, 160), (7, 160), (10, 160), (13, 160),
@@ -170,14 +174,18 @@ _TILING_CANDIDATES = tuple(
 )
 
 # Cost-model constants (ns per scanned column unless noted; fitted to v5e
-# measurements — headline: 1185 Mpix/s at tr=32/ng=1/su=32 -> ~108 ns/col.
-# Ranking-only; the runtime prepass guards exactness).
+# measurements of the DMA-fetch kernel at C=3 — headline 1348 Mpix/s at
+# tr=64/ng=1/rb=24 ~ 188 ns/col; plus the tr=32 rb=16/40, nearest, and
+# ng=2 ablations. The dominant term is the per-(column, channel,
+# sub-tile) distribution chain (slice + broadcast + weight FMA), which
+# scales with the channel count; taps and rolls are comparatively cheap.
+# Ranking-only; the runtime prepass guards exactness.
 _PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
-_KERNEL_BASE_NS = 24.0    # per-column fetch + loop share
-_KERNEL_ROLL_NS = 4.5     # per-sub-tile roll per column
-_KERNEL_COLW_NS = 4.5     # per-sub-tile column-weight selects per column
-_KERNEL_GROUP_NS = 2.6    # per (group x tap) masked-gather work (x n_sub)
-_KERNEL_GROUP_NS2 = 0.4   # superlinear penalty (register pressure)
+_KERNEL_BASE_NS = 14.0    # per-column loop/fetch share
+_KERNEL_ROLL_NS = 1.8     # per-sub-tile roll per column (x rb/40)
+_KERNEL_COLW_NS = 5.77    # per-sub-tile per-CHANNEL distribution chain
+_KERNEL_GROUP_NS = 0.15   # per (group x tap x channel) gather work
+_KERNEL_GROUP_NS2 = 0.13  # superlinear group penalty (register pressure)
 _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 
 
@@ -288,11 +296,15 @@ def suggest_tiling(
                 g = _pad_group(a, q, 0).reshape(nt, q, nc)
                 return (g.min if op == "min" else g.max)(axis=1)
 
-            # Block fit: the whole tile's row span fits one 2*rb block
-            # after rb quantization: guaranteed budget is rb columns.
+            # Row fit: the DMA window base quantizes to 8 rows, so the
+            # whole tile's TAP-extreme span (t_span already spans the
+            # taps — ty_lo/ty_hi) fits iff span + 2*margin + 1 + 7 <=
+            # 2*rb (the old page grid only guaranteed ~rb rows).
             t_span = tgroup(bmax, "max") - tgroup(bmin, "min")
-            blk_over = t_span + slack > rb
-            # Column window must fit the 2*cbb page pair: budget cbb.
+            blk_over = t_span + 2 * margin + 8 > 2 * rb
+            # Column window: the scan start is exact (per-step lane
+            # rolls), bounded only by the scan budget (~2*cbb columns;
+            # the per-chunk verification budget is applied in sim()).
             c_span = tgroup(cmax, "max") - tgroup(cmin, "min")
             cmin_t = tgroup(cmin, "min")
             if wrap:
@@ -300,7 +312,7 @@ def suggest_tiling(
                 use_adj = c_span > in_w / 2
                 c_span = np.where(use_adj, c_span_a, c_span)
                 cmin_t = np.where(use_adj, tgroup(cmin_a, "min"), cmin_t)
-            col_over = c_span + slack > cbb
+            col_over = c_span + slack > 2 * cbb
             window = c_span + slack  # scanned-column count per good tile
             if float((blk_over | col_over).mean()) > 0.55:
                 return [(1.0, SCAN_UNROLL, float(cbb))]  # candidate dead
@@ -338,7 +350,7 @@ def suggest_tiling(
                 # extremes into scan chunks, fit the linear drift from the
                 # endpoint chunks, and check every chunk's residual against
                 # ng*8 — the same computation _prepass performs exactly.
-                nch = min(16, -(-2 * cbb // su))
+                nch = min(32, -(-2 * cbb // su))
                 j_s = (sxg - cmin_t[:, None, :, None, None]) / su
                 j_s = np.clip(j_s.astype(np.int64), 0, nch - 1)
                 big = np.float32(1 << 28)
@@ -373,7 +385,7 @@ def suggest_tiling(
                 sub_over = (
                     resid + deriv + 2 * margin + 1 > ng * 8
                 ).max(axis=1) > 0
-                over = sub_over | blk_over | col_over
+                over = sub_over | blk_over | col_over | (window > nch * su)
                 good = ~over
                 scanned = (
                     float((np.ceil(window[good] / su) * su).mean())
@@ -409,15 +421,27 @@ def suggest_tiling(
                     if f > 0.55:  # sampled estimate; runtime cap is 60%
                         continue
                     n_sub = max(1, tr // 8)
-                    grp_ns = _KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng
+                    grp_ns = (_KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng) * channels
+                    # Roll cost scales with the rolled window height
+                    # (2*rb sublanes; fitted at rb=40); the distribution
+                    # chain scales with the channel count (fitted at 3).
                     col_ns = _KERNEL_BASE_NS + n_sub * (
-                        _KERNEL_ROLL_NS + grp_ns * ng * taps + _KERNEL_COLW_NS
+                        _KERNEL_ROLL_NS * (rb / RB)
+                        + grp_ns * ng * taps
+                        + _KERNEL_COLW_NS * channels
                     )
                     kern = scanned * col_ns / (tr * TC)
-                    # Bigger pages tax the per-tile DMA; nudge so cb=512
-                    # only wins when it meaningfully cuts the overflow.
+                    # Bigger scan budgets tax the prepass; nudge so
+                    # cb=512 only wins when it meaningfully cuts overflow.
                     kern *= 1.0 + 0.15 * (cbb // CB - 1)
-                    cost = f * _PATCH_NS_PER_PX + (1.0 - f) * kern
+                    # The sim over-marks overflow by design (decimated
+                    # grid + derivative slack); the device prepass is the
+                    # exact arbiter. Forgive sub-1% sim fractions so
+                    # sampling noise cannot veto a faster tiling
+                    # (measured: the sim read 1.2% on a config whose real
+                    # prepass marks zero tiles).
+                    f_eff = max(0.0, f - 0.01)
+                    cost = f_eff * _PATCH_NS_PER_PX + (1.0 - f_eff) * kern
                     if best is None or cost < best[0]:
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
@@ -440,40 +464,62 @@ def suggest_tiling(
     return 8, 2, RB, SCAN_UNROLL, CB
 
 
-def _pad_source(src_chw: Array, wrap: bool, rb: int = RB, cb: int = CB) -> Tuple[Array, int, int]:
-    """Pad (C, H, W) with clamp/wrap margins; round to block multiples.
+def _lanes_for(w_pad: int, c: int) -> int:
+    """Lane width of the padded interleaved source: 128-multiple with
+    >= 256 lanes of slack past the last column (DMA windows are
+    128-aligned and W_WIN <= scan lanes + 256)."""
+    return _ceil_to(w_pad * c + 256, 128)
 
-    Returns (padded (C, H_pad, W_pad), h_pad, w_pad). Index mapping:
-    padded row = clamped source row + PAD; padded col = (monotonized)
-    source col + PAD.
+
+def _w_win(scan_unroll: int, c: int) -> int:
+    """DMA window lane width: covers SU*C scan lanes at any misalignment
+    (the fetch start is rounded down to a 128-lane boundary)."""
+    return _ceil_to(scan_unroll * c + 128, 128)
+
+
+def _pad_source(src_hwc: Array, wrap: bool, rb: int = RB, cb: int = CB) -> Tuple[Array, int, int]:
+    """Pad (H, W, C) with clamp/wrap margins -> interleaved (h_pad, Wl).
+
+    Row-major interleaved lanes: padded column j, channel c at lane
+    j*C + c. Index mapping: padded row = clamped source row + PAD;
+    padded col = (monotonized) source col + PAD. The kernel keeps this
+    array in HBM and DMAs (2*rb, W_WIN) scan windows from it at dynamic
+    offsets (8-aligned rows, 128-aligned lanes — the Mosaic DMA
+    alignment rules), so the lane dim is padded per ``_lanes_for``.
     """
-    c, h, w = src_chw.shape
+    h, w, c = src_hwc.shape
     # rows: replicate top/bottom edges (y always clamps)
-    top = jnp.repeat(src_chw[:, :1, :], PAD, axis=1)
+    top = jnp.repeat(src_hwc[:1], PAD, axis=0)
     bot_extra = _ceil_to(h + 2 * PAD, rb) - (h + PAD)
     h_pad = h + PAD + bot_extra
     if h_pad < 2 * rb:
         bot_extra += 2 * rb - h_pad
         h_pad = 2 * rb
-    bot = jnp.repeat(src_chw[:, -1:, :], bot_extra, axis=1)
-    x = jnp.concatenate([top, src_chw, bot], axis=1)
+    bot = jnp.repeat(src_hwc[-1:], bot_extra, axis=0)
+    x = jnp.concatenate([top, src_hwc, bot], axis=0)
 
     if wrap:
-        left = x[:, :, -PAD:]  # wrapped continuation (left pad unused in wrap)
+        left = x[:, -PAD:]  # wrapped continuation (left pad unused in wrap)
         right_margin = cb + 2 * PAD + 2 * MARGIN
         reps = -(-right_margin // w)
-        right = jnp.concatenate([x[:, :, :w]] * reps, axis=2)[:, :, :right_margin]
+        right = jnp.concatenate([x[:, :w]] * reps, axis=1)[:, :right_margin]
     else:
-        left = jnp.repeat(x[:, :, :1], PAD, axis=2)
-        right = jnp.repeat(x[:, :, -1:], PAD, axis=2)
-    x = jnp.concatenate([left, x, right], axis=2)
-    w_now = x.shape[2]
+        left = jnp.repeat(x[:, :1], PAD, axis=1)
+        right = jnp.repeat(x[:, -1:], PAD, axis=1)
+    x = jnp.concatenate([left, x, right], axis=1)
+    w_now = x.shape[1]
     w_pad = max(_ceil_to(w_now, cb), 2 * cb)
     if w_pad > w_now:
         x = jnp.concatenate(
-            [x, jnp.repeat(x[:, :, -1:], w_pad - w_now, axis=2)], axis=2
+            [x, jnp.repeat(x[:, -1:], w_pad - w_now, axis=1)], axis=1
         )
-    return x, h_pad, w_pad
+    flat = x.reshape(h_pad, w_pad * c)
+    wl = _lanes_for(w_pad, c)
+    if wl > w_pad * c:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((h_pad, wl - w_pad * c), flat.dtype)], axis=1
+        )
+    return flat, h_pad, w_pad
 
 
 def _field_taps(
@@ -575,8 +621,12 @@ def _prepass(
     rmin = jnp.min(rmin_sub, axis=1)
     rmax = jnp.max(rmax_sub, axis=1)
 
-    rblk = jnp.clip((rmin - margin) // rb, 0, max(n_rp - 1, 0))
-    r_base = rblk * rb
+    # DMA fetch: the window base quantizes to 8 rows (the Mosaic DMA
+    # sublane alignment), not to an rb-page grid — the usable window is
+    # 2*rb - 7 rows instead of the old page-fit worst case of ~rb + 1,
+    # which nearly doubles the admitted row span per rb.
+    h_pad = (n_rp + 1) * rb
+    r_base = jnp.clip(((rmin - margin) // 8) * 8, 0, max(h_pad - 2 * rb, 0))
     ok_r = jnp.logical_and(
         rmax + margin + 1 - r_base <= 2 * rb, rmin - margin - r_base >= 0
     )
@@ -591,7 +641,7 @@ def _prepass(
     # a pure admission/performance feature.
     c_start = cmin - margin
     su = scan_unroll
-    n_chunks = min(16, -(-2 * cb // su))
+    n_chunks = min(32, -(-2 * cb // su))
     big = jnp.int32(1 << 28)
     # Per-pixel scan-chunk range (a pixel's taps span <= 2 chunks).
     c_start_px = jnp.repeat(jnp.repeat(c_start, tile_rows, axis=0), TC, axis=1)
@@ -612,7 +662,11 @@ def _prepass(
     j_last = jnp.max(jnp.where(valid, jidx, -1), axis=0)
     r_first = jnp.min(jnp.where(jidx == j_first[None], rminc, big), axis=0)
     r_last = jnp.min(jnp.where(jidx == j_last[None], rminc, big), axis=0)
-    drift = (r_last - r_first) // jnp.maximum(j_last - j_first, 1)
+    # Round-to-nearest integer slope: floor division loses up to one row
+    # per chunk of accumulated fit error, which at fine scan chunks
+    # (su=8/16) over-marked more tiles than the finer shear admitted.
+    den = jnp.maximum(j_last - j_first, 1)
+    drift = (2 * (r_last - r_first) + den) // (2 * den)
     r_base_b = r_base[None, :, None, :]
     rel = rminc - margin - r_base_b - jidx * drift[None]
     shift0 = jnp.min(jnp.where(valid, rel, big), axis=0)
@@ -629,17 +683,17 @@ def _prepass(
     )
     row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
     row_drift_sub = drift
-    cblk = jnp.clip((cmin - margin) // cb, 0, max(n_cp - 1, 0))
-    c_base = cblk * cb
+    w_pad = (n_cp + 1) * cb
     c_start = cmin - margin
     # Pad the scan length to the kernel's unroll factor: the extra columns
-    # sit beyond every tap (weights identically zero) and the in-kernel
-    # sublane clamp keeps their reads in bounds.
+    # sit beyond every tap (weights identically zero) and the DMA window
+    # slack (_lanes_for) keeps their reads in bounds.
     n_scan = cmax - cmin + 2 * margin + 1
     n_scan = ((n_scan + scan_unroll - 1) // scan_unroll) * scan_unroll
-    ok_c = jnp.logical_and(
-        cmax + margin + 1 - c_base <= 2 * cb, c_start - c_base >= 0
-    )
+    # DMA fetch: no page-pair fit — the scan start is exact (the kernel
+    # lane-rolls each fetched window); the window just has to live inside
+    # the padded source and the per-chunk-verified scan budget.
+    ok_c = jnp.logical_and(c_start >= 0, c_start + n_scan <= w_pad)
     # The sheared windows were verified per scan chunk; tiles scanning
     # past the verified chunk range fall back.
     ok_c = jnp.logical_and(ok_c, n_scan <= n_chunks * su)
@@ -656,21 +710,23 @@ def _prepass(
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
     # at 4K grid sizes). Layout: (n_ty, n_tx * SC), field i at [ty, tx*SC+i];
-    # slots 0/5 are the tile's (row, col) PAGE indices into the transposed
-    # source (the four in_specs fetch pages (r|r+1, c|c+1)); slots
-    # 6..6+n_sub-1 hold the per-sub-tile roll shifts and slots
-    # 6+n_sub..6+2*n_sub-1 their per-step drifts.
+    # slot 1 is the tile's 8-aligned DMA row base, slot 2 the exact scan
+    # start column (both in padded source coords); slots 6..6+n_sub-1 hold
+    # the per-sub-tile roll shifts and slots 6+n_sub..6+2*n_sub-1 their
+    # per-step drifts.
     fields = [
-        rblk.astype(jnp.int32),
+        r_base.astype(jnp.int32),
         r_base.astype(jnp.int32),
         c_start.astype(jnp.int32),
         n_scan.astype(jnp.int32),
         seam.astype(jnp.int32),
-        cblk.astype(jnp.int32),
+        jnp.zeros_like(r_base),
     ] + [row_shift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)] \
       + [row_drift_sub[:, h, :].astype(jnp.int32) for h in range(n_sub)]
-    fields += [jnp.zeros_like(rblk)] * (SC - len(fields))
-    scalars = jnp.stack(fields, axis=-1).reshape(rblk.shape[0], rblk.shape[1] * SC)
+    fields += [jnp.zeros_like(r_base)] * (SC - len(fields))
+    scalars = jnp.stack(fields, axis=-1).reshape(
+        r_base.shape[0], r_base.shape[1] * SC
+    )
     return scalars, jnp.logical_not(ok_all)
 
 
@@ -678,23 +734,57 @@ def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
     scan_unroll: int = SCAN_UNROLL, cb: int = CB,
+    h_pad: int = 0, wl: int = 0,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
     SU = scan_unroll
+    WW = _w_win(scan_unroll, c_ch)
+    HW = 2 * rb
 
-    def kernel(scalars_s, rot_ref, p00_ref, p01_ref, p10_ref, p11_ref, out_ref):
+    def kernel(scalars_s, rot_ref, src_ref, out_ref, buf, sem):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
+        n_tx_g = pl.num_programs(1)
         r_base = scalars_s[ty, tx * SC + 1]
         c_start = scalars_s[ty, tx * SC + 2]
         n_scan = scalars_s[ty, tx * SC + 3]
         seam = scalars_s[ty, tx * SC + 4] > 0
-        c_base = scalars_s[ty, tx * SC + 5] * cb
         # Per-sub-tile roll shifts (slots 6..) and per-step drifts
         # (slots 6+n_sub..): shift_h(step) = shifts[h] + step * drifts[h].
         shifts = [scalars_s[ty, tx * SC + 6 + h] for h in range(n_sub)]
         drifts = [scalars_s[ty, tx * SC + 6 + n_sub + h] for h in range(n_sub)]
+
+        # SCAN-WINDOW DMA. Each scan step's (2*rb, SU*C) source window is
+        # DMA'd from the HBM-resident interleaved source into one of two
+        # VMEM slots at dynamic offsets (Mosaic alignment rules: row base
+        # multiple of 8, lane base/width multiple of 128 — the prepass
+        # 8-quantizes the row base; the lane base rounds down to 128 and
+        # a dynamic lane roll re-aligns the scan start). DMAs are issued
+        # one step ahead, and the LAST step of each tile issues the NEXT
+        # tile's first window (its scalars are in the prefetch array), so
+        # the ~us DMA latency hides behind compute; slots alternate in
+        # issue order with at most two DMAs in flight, so a slot's next
+        # write never races its previous read (measured: serialized
+        # per-tile DMA waits cost ~11 us/tile, pipelined ~1.5 us).
+        def lane_base(cs, step):
+            la = (cs + step * SU) * c_ch
+            return jnp.clip((la // 128) * 128, 0, wl - WW), la
+
+        def dma_for(tyy, txx, step, slot):
+            rb_t = scalars_s[tyy, txx * SC + 1]
+            cs_t = scalars_s[tyy, txx * SC + 2]
+            r0 = pl.multiple_of(jnp.clip(rb_t, 0, h_pad - HW), 8)
+            l0, _ = lane_base(cs_t, step)
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(r0, HW), pl.ds(pl.multiple_of(l0, 128), WW)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(jnp.logical_and(ty == 0, tx == 0))
+        def _():
+            dma_for(0, 0, 0, 0).start()
 
         row0_k = rot_ref[0, 11].astype(jnp.int32)
         rows = jnp.minimum(
@@ -767,37 +857,25 @@ def _make_kernel(
             for _ in range(c_ch)
         ]
 
+        n_steps = n_scan // SU
+
         def body(i, accs):
             out = accs
-            # One transpose per step: stack the SU x C column reads on the
-            # minor axis first. NOTE: dynamic NEGATIVE roll shifts are
-            # miscompiled on real TPUs (correct in interpret mode); use the
-            # positive equivalent.
-            # The tile's window lives on a 2x2 grid of (CB, rb) source
-            # pages; each column read picks the left/right page pair by a
-            # scalar predicate and concatenates the top/bottom row pages.
-            cos = [
-                jnp.clip(c_start + i * SU + u - c_base, 0, 2 * cb - 1)
-                for u in range(SU)
-            ]
-            parts = []
-            for u in range(SU):
-                hi_c = cos[u] >= cb
-                co = cos[u] - jnp.where(hi_c, cb, 0)
-                for c in range(c_ch):
-                    top = jnp.where(
-                        hi_c,
-                        p01_ref[0, 0, c, pl.ds(co, 1), :],
-                        p00_ref[0, 0, c, pl.ds(co, 1), :],
-                    )
-                    bot = jnp.where(
-                        hi_c,
-                        p11_ref[0, 0, c, pl.ds(co, 1), :],
-                        p10_ref[0, 0, c, pl.ds(co, 1), :],
-                    )
-                    parts.append(jnp.concatenate([top, bot], axis=1))
-            colvs = jnp.concatenate(parts, axis=0)  # (SU * C, 2rb)
-            coltT = jnp.transpose(colvs, (1, 0))  # (2rb, SU * C)
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_steps)
+            def _():
+                dma_for(ty, tx, i + 1, jax.lax.rem(i + 1, 2)).start()
+
+            dma_for(ty, tx, i, slot).wait()
+            # Re-align the fetched window: lane m of the scan window (m =
+            # misalignment of the 128-rounded fetch base) moves to lane 0.
+            # NOTE: dynamic NEGATIVE roll shifts are miscompiled on real
+            # TPUs (correct in interpret mode); use the positive
+            # equivalent.
+            l0, la = lane_base(c_start, i)
+            m = jnp.clip(la - l0, 0, WW - 1)
+            coltT = pltpu.roll(buf[slot], WW - m, 1)[:, : SU * c_ch]
             # One roll per sub-tile aligns that sub-tile's SHEARED window
             # start (shift + step*drift) to sublane 0, so each sub-tile
             # needs only n_groups (usually 1) gathers per tap even when the
@@ -866,7 +944,19 @@ def _make_kernel(
                 out = nxt
             return out
 
-        accs = jax.lax.fori_loop(0, n_scan // SU, body, accs)
+        accs = jax.lax.fori_loop(0, n_steps, body, accs)
+        # Prefetch the NEXT tile's first scan window (slot 0 was last
+        # consumed two issues ago, so the write cannot race a live read).
+        is_last = jnp.logical_and(
+            ty == pl.num_programs(0) - 1, tx == n_tx_g - 1
+        )
+
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            nty = jnp.where(tx + 1 < n_tx_g, ty, ty + 1)
+            ntx = jnp.where(tx + 1 < n_tx_g, tx + 1, 0)
+            dma_for(nty, ntx, 0, 0).start()
+
         for c in range(c_ch):
             for h in range(n_sub):
                 out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
@@ -922,8 +1012,7 @@ def _remap_pallas_one(
     n_tx = -(-out_w // TC)
 
     if shared is None:
-        src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb, cb)
+        padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb)
         n_rp = h_pad // rb - 1
         n_cp = w_pad // cb - 1
         scalars, bad = _prepass(
@@ -967,49 +1056,35 @@ def _remap_pallas_one(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
         interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
         scan_unroll=scan_unroll, cb=cb,
+        h_pad=int(padded.shape[0]), wl=int(padded.shape[1]),
     )
 
     def pallas_branch(operands):
-        padded_, rot_ = operands
-        # The tile's 2*CB x 2*rb window is fetched as FOUR non-overlapping
-        # (CB, rb) pages of the transposed padded source (cols on
-        # sublanes) — page indices come straight from the prepass scalars.
-        # This replaces the old materialized stack of 2x-overlapping
-        # blocks, which duplicated the source 4x in HBM and dominated the
-        # frame time (~6 ms at 4K) over the kernel itself. The 5-D page
-        # array makes the block's trailing dims equal the array dims,
-        # which the Mosaic lowering requires for a 40/160-deep minor dim.
-        n_r_pages = padded_.shape[1] // rb
-        n_c_pages = padded_.shape[2] // cb
-        pages = jnp.transpose(
-            padded_.reshape(c_ch, n_r_pages, rb, n_c_pages, cb),
-            (3, 1, 0, 4, 2),
-        )  # (n_c_pages, n_r_pages, C, CB, rb)
-
-        def page_spec(dr, dc):
-            return pl.BlockSpec(
-                (1, 1, c_ch, cb, rb),
-                lambda ty, tx, s, dr=dr, dc=dc: (
-                    s[ty, tx * SC + 5] + dc, s[ty, tx * SC] + dr, 0, 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            )
-
+        padded_, rot_, src_ = operands
+        # The interleaved padded source stays in HBM (memory_space ANY);
+        # the kernel DMAs each tile's scan windows from it directly (see
+        # _make_kernel). This replaces the former 2x2 (CB, rb) page grid
+        # of BlockSpec fetches: no per-frame page transpose, no 4x window
+        # overfetch, and no page-fit admission constraints — the scan
+        # start is exact and the row base quantizes to 8 rows.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_ty, n_tx),
             in_specs=[
                 pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0), memory_space=pltpu.SMEM),
-                page_spec(0, 0),
-                page_spec(0, 1),
-                page_spec(1, 0),
-                page_spec(1, 1),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (c_ch, tile_rows, TC),
                 lambda ty, tx, *_: (0, ty, tx),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (2, 2 * rb, _w_win(scan_unroll, c_ch)), jnp.float32
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         )
         out_planar = pl.pallas_call(
             kernel,
@@ -1018,7 +1093,7 @@ def _remap_pallas_one(
             ),
             grid_spec=grid_spec,
             interpret=_INTERPRET,
-        )(scalars, rot_, pages, pages, pages, pages)
+        )(scalars, rot_, padded_)
 
         # Patch overflow tiles with exact XLA-sampled values. Sampling is
         # VECTORIZED in fixed-size chunks over the bad-tile list (a
@@ -1026,9 +1101,7 @@ def _remap_pallas_one(
         # fisheye<->equirect configs with hundreds of patched tiles to
         # ~25 Mpix/s); cost scales with the actual bad count in steps of
         # patch_chunk tiles, and zero-bad frames run zero chunk iterations.
-        src_back = jnp.transpose(
-            padded_[:, PAD:PAD + in_h, PAD:PAD + in_w], (1, 2, 0)
-        )
+        src_back = src_
         rot_mat = rotation if has_rotation else None
         wrap_mode = wrap_mode_for_input(in_lens)
         from .. import sampling as sampling_mod
@@ -1086,19 +1159,20 @@ def _remap_pallas_one(
         return jnp.transpose(out_planar[:, :band_rows, :out_w], (1, 2, 0))
 
     def xla_branch(operands):
-        padded_, rot_ = operands
-        # Recover the original source from the padded copy (cheap slice).
-        src_back = jnp.transpose(
-            padded_[:, PAD:PAD + in_h, PAD:PAD + in_w], (1, 2, 0)
-        )
+        padded_, rot_, src_ = operands
+        src_back = src_
         return _xla_subsample(
             src_back, rotation if has_rotation else None,
             in_lens, out_lens, out_h, out_w, interp, off_x, off_y,
             row0=row0, band_rows=band_rows,
         )
 
+    # The original (H, W, C) source rides along for the patch/fallback
+    # samplers: slicing it back out of the interleaved padded array kept
+    # the slice+reshape fused into every patch gather (measured ~3x the
+    # normal XLA-sampling cost on patch-heavy fisheye configs).
     result = jax.lax.cond(
-        n_bad <= max_bad, pallas_branch, xla_branch, (padded, rot_arr)
+        n_bad <= max_bad, pallas_branch, xla_branch, (padded, rot_arr, src)
     )
     return result, n_bad == 0
 
@@ -1222,8 +1296,7 @@ def remap_pallas(
     cb_eff = cb if cb > 0 else CB
     if prepass is not None or n_samples > 1:
         wrap = wrap_mode_for_input(in_lens)
-        src_chw = jnp.transpose(src, (2, 0, 1))
-        padded, h_pad, w_pad = _pad_source(src_chw, wrap, rb, cb_eff)
+        padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb_eff)
         if prepass is not None:
             scalars, bad = prepass
         else:

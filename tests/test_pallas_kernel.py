@@ -249,7 +249,9 @@ class TestKernelGolden:
         tr, ng, rb, su, cb = RK.suggest_tiling(
             EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
         )
-        assert rb == 40 and tr == 32 and ng <= 2
+        # DMA fetch: smooth mappings admit short row windows (8-quantized
+        # bases, usable span 2*rb-8) on tall tiles.
+        assert rb <= 40 and tr >= 32 and ng <= 2
         assert su % 8 == 0 and 16 <= su <= 48  # ~p95 column window
 
     def test_planned_prepass_matches_inline(self):
