@@ -65,10 +65,22 @@ def main() -> int:
         ("equirect->rect bicubic T32 ng2", EQUIRECT, RECT, "bicubic", rot, (512, 1024), (512, 512), 32, 2, 40),
         ("equisolid->equirect rot T32 ng5 rb80", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 32, 5, 80),
         ("equirect->rect ss2 T32 ng2", EQUIRECT, RECT, "bilinear", rot, (256, 512), (256, 256), 32, 2, 40),
+        # whole-window kernel (scan_unroll<0): per-lane dynamic gathers
+        ("equirect->rect bicubic WW T32 ng1", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 32, 1, 40),
+        ("equirect->rect seam180 bl WW", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8, 0, 40),
+        ("equisolid->equirect bl WW g2", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16, 0, 40),
+        ("equirect->rect nn WW", EQUIRECT, RECT, "nearest", rot, (256, 512), (256, 256), 8, 0, 40),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
     ns_for = {"equirect->rect bicubic rot 512 T16": 3}
+    # scan_unroll override: negative = whole-window gather chunks.
+    su_for = {
+        "equirect->rect bicubic WW T32 ng1": -1,
+        "equirect->rect seam180 bl WW": -1,
+        "equisolid->equirect bl WW g2": -2,
+        "equirect->rect nn WW": -1,
+    }
 
     failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
@@ -78,7 +90,7 @@ def main() -> int:
         out = RK.remap_pallas(
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,
             out_h=oh, out_w=ow, interp=interp, n_samples=ns, tile_rows=trows,
-            n_groups=ng, rb=rb,
+            n_groups=ng, rb=rb, scan_unroll=su_for.get(name, 0),
         )
         got = np.asarray(out)
         want = oracle.oracle_remap(

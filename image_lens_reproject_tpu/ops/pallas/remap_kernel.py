@@ -68,6 +68,31 @@ MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 t
 SCAN_UNROLL = 32  # source columns per scan step (~=p99 tile window: most tiles scan once)
 SC = 24     # per-tile scalar slots (6 fixed + 2 per 8-row sub-tile: tile_rows<=64)
 
+# WHOLE-WINDOW kernel mode: ``scan_unroll = -g`` (g gather chunks) fetches
+# each tile's ENTIRE column window into g 128-lane vregs and distributes
+# source texels to output pixels by per-lane dynamic gathers
+# (take_along_axis on the lane dim — exact on hardware for (S, 128)
+# operands), instead of scanning columns one at a time. Work per sub-tile
+# drops from O(n_scan * C * taps) broadcast/select chains to
+# O(ng*8 * C * taps) gathers — ~4x fewer vector ops for single-chunk
+# smooth tiles (the headline config). Admission: the tile's column window
+# must fit g*128 lanes (g*128//C columns) with a SINGLE roll shift per
+# sub-tile (no per-step drift — the prepass's single-chunk fit gives
+# drift = 0 automatically).
+
+
+def _resolve_su(scan_unroll: int, c_ch: int):
+    """Return (scan columns per step, gather chunks) for a scan_unroll knob.
+
+    Positive values select the scan kernel with that unroll; negative
+    values select the whole-window kernel with ``-scan_unroll`` 128-lane
+    gather chunks (the scan budget is then the chunk capacity in columns).
+    """
+    if scan_unroll < 0:
+        g = -scan_unroll
+        return (g * 128) // c_ch, g
+    return (scan_unroll if scan_unroll > 0 else SCAN_UNROLL), 0
+
 # Default row-group count per 8-row SUB-TILE (each sub-tile has its own
 # roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
 # spans up to groups*8 - 2*MARGIN - taps source rows). suggest_tiling
@@ -576,14 +601,17 @@ def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
-    cb: int = CB,
+    cb: int = CB, max_chunks: int = 0,
 ):
     """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
 
     ``offsets`` is a sequence of sub-pixel (off_x, off_y) pairs whose tap
     windows are unioned — supersampled runs pass the extreme stratified
     offsets (see _prepass_offsets) so one prepass covers every launch.
-    ``margin`` widens the windows (default: drift slack per interp)."""
+    ``margin`` widens the windows (default: drift slack per interp).
+    ``max_chunks`` > 0 additionally bounds the scan length to that many
+    chunks (the whole-window kernel passes 1: its gather vregs hold one
+    chunk, and a single-chunk fit makes the shear drift 0)."""
     if margin is None:
         margin = _margin_for(interp)
     fields = [
@@ -696,7 +724,8 @@ def _prepass(
     ok_c = jnp.logical_and(c_start >= 0, c_start + n_scan <= w_pad)
     # The sheared windows were verified per scan chunk; tiles scanning
     # past the verified chunk range fall back.
-    ok_c = jnp.logical_and(ok_c, n_scan <= n_chunks * su)
+    budget = min(n_chunks, max_chunks) if max_chunks > 0 else n_chunks
+    ok_c = jnp.logical_and(ok_c, n_scan <= budget * su)
 
     ok_all = jnp.logical_and(ok_r, ok_c)
     if wrap:
@@ -734,12 +763,15 @@ def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
     scan_unroll: int = SCAN_UNROLL, cb: int = CB,
-    h_pad: int = 0, wl: int = 0,
+    h_pad: int = 0, wl: int = 0, gchunks: int = 0,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
     SU = scan_unroll
-    WW = _w_win(scan_unroll, c_ch)
+    # Whole-window mode: one DMA fetches the tile's entire column window
+    # (gchunks 128-lane gather vregs + 128 lanes of alignment slack).
+    WW = (gchunks + 1) * 128 if gchunks else _w_win(scan_unroll, c_ch)
+    GL = gchunks * 128
     HW = 2 * rb
 
     def kernel(scalars_s, rot_ref, src_ref, out_ref, buf, sem):
@@ -856,6 +888,70 @@ def _make_kernel(
             [jnp.zeros((8, TC), jnp.float32) for _ in range(n_sub)]
             for _ in range(c_ch)
         ]
+
+        if gchunks:
+            # ---- WHOLE-WINDOW BODY ----
+            # One DMA per tile; texels reach output pixels by per-lane
+            # dynamic gathers (take_along_axis on the lane dim — exact on
+            # hardware for (S, 128) operands, hence the 128-lane chunking).
+            # Work per sub-tile: ng*8 window rows x (1 broadcast +
+            # C x taps x gchunks gathers) — independent of the scan width,
+            # ~4x fewer vector ops than the scan body on smooth tiles.
+            tlin = ty * n_tx_g + tx
+            slot = jax.lax.rem(tlin, 2)
+            dma_for(ty, tx, 0, slot).wait()
+            is_last = jnp.logical_and(
+                ty == pl.num_programs(0) - 1, tx == n_tx_g - 1
+            )
+
+            @pl.when(jnp.logical_not(is_last))
+            def _():
+                nty = jnp.where(tx + 1 < n_tx_g, ty, ty + 1)
+                ntx = jnp.where(tx + 1 < n_tx_g, tx + 1, 0)
+                dma_for(nty, ntx, 0, 1 - slot).start()
+
+            l0, la = lane_base(c_start, 0)
+            mis = jnp.clip(la - l0, 0, WW - 1)
+            wfull = pltpu.roll(buf[slot], WW - mis, 1)[:, :GL]
+            for h in range(n_sub):
+                sh_h = jnp.clip(shifts[h], 0, HW - 1)
+                rolled_h = pltpu.roll(wfull, HW - sh_h, 0)
+                y_rel = [
+                    jnp.clip(y_base[m][h] - sh_h, 0, n_groups * 8 - 1)
+                    for m in range(n_taps)
+                ]
+                xli = [x_key_h[m][h] * c_ch for m in range(n_taps)]
+                for j in range(n_groups * 8):
+                    mj = sum(
+                        jnp.where(y_rel[m] == j, yw_h[m][h], 0.0)
+                        for m in range(n_taps)
+                    )
+                    row = rolled_h[j:j + 1, :]
+                    opgs = [
+                        jnp.broadcast_to(row[:, q * 128:(q + 1) * 128], (8, 128))
+                        for q in range(gchunks)
+                    ]
+                    for c in range(c_ch):
+                        sx_j = None
+                        for m in range(n_taps):
+                            idx = xli[m] + c
+                            g = jnp.take_along_axis(
+                                opgs[0], jnp.clip(idx, 0, 127), axis=1
+                            )
+                            for q in range(1, gchunks):
+                                gq = jnp.take_along_axis(
+                                    opgs[q],
+                                    jnp.clip(idx - q * 128, 0, 127),
+                                    axis=1,
+                                )
+                                g = jnp.where(idx >= q * 128, gq, g)
+                            term = g * xw_h[m][h]
+                            sx_j = term if sx_j is None else sx_j + term
+                        accs[c][h] = accs[c][h] + sx_j * mj
+            for c in range(c_ch):
+                for h in range(n_sub):
+                    out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
+            return
 
         n_steps = n_scan // SU
 
@@ -998,12 +1094,11 @@ def _remap_pallas_one(
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
     n_groups = min(n_groups, _max_groups(rb))
-    if scan_unroll <= 0:
-        scan_unroll = SCAN_UNROLL
-    if cb <= 0:
-        cb = CB
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
+    scan_unroll, gchunks = _resolve_su(scan_unroll, c_ch)
+    if cb <= 0:
+        cb = CB
     wrap = wrap_mode_for_input(in_lens)
 
     if band_rows <= 0:
@@ -1019,7 +1114,7 @@ def _remap_pallas_one(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
             tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
-            cb=cb,
+            cb=cb, max_chunks=1 if gchunks else 0,
         )
     else:
         padded, scalars, bad = shared
@@ -1056,7 +1151,7 @@ def _remap_pallas_one(
         in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
         interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
         scan_unroll=scan_unroll, cb=cb,
-        h_pad=int(padded.shape[0]), wl=int(padded.shape[1]),
+        h_pad=int(padded.shape[0]), wl=int(padded.shape[1]), gchunks=gchunks,
     )
 
     def pallas_branch(operands):
@@ -1081,7 +1176,12 @@ def _remap_pallas_one(
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (2, 2 * rb, _w_win(scan_unroll, c_ch)), jnp.float32
+                    (
+                        2, 2 * rb,
+                        (gchunks + 1) * 128 if gchunks
+                        else _w_win(scan_unroll, c_ch),
+                    ),
+                    jnp.float32,
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -1217,6 +1317,7 @@ def make_prepass(
     cb: int = 0,
     row0=0,
     band_rows: int = 0,
+    channels: int = 3,
 ) -> Tuple[Array, Array]:
     """Precompute the per-tile window scalars + overflow mask (a "plan").
 
@@ -1245,13 +1346,13 @@ def make_prepass(
     else:
         w_now = in_w + 2 * PAD
     w_pad = max(_ceil_to(w_now, cb), 2 * cb)
+    su_eff, gchunks = _resolve_su(scan_unroll, channels)
     return _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, _prepass_offsets(n_samples), interp, wrap, n_ty, n_tx,
         h_pad // rb - 1, w_pad // cb - 1, tile_rows, n_groups,
-        row0=row0, rb=rb,
-        scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
-        cb=cb,
+        row0=row0, rb=rb, scan_unroll=su_eff, cb=cb,
+        max_chunks=1 if gchunks else 0,
     )
 
 
@@ -1307,13 +1408,13 @@ def remap_pallas(
                 n_groups_eff = min(n_groups, _max_groups(rb))
             n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
             n_tx = -(-out_w // TC)
+            su_eff, gch = _resolve_su(scan_unroll, int(src.shape[2]))
             scalars, bad = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
                 rotation, _prepass_offsets(n_samples), interp, wrap,
                 n_ty, n_tx, h_pad // rb - 1, w_pad // cb_eff - 1, tile_rows,
-                n_groups_eff, row0=row0, rb=rb,
-                scan_unroll=scan_unroll if scan_unroll > 0 else SCAN_UNROLL,
-                cb=cb_eff,
+                n_groups_eff, row0=row0, rb=rb, scan_unroll=su_eff,
+                cb=cb_eff, max_chunks=1 if gch else 0,
             )
         shared = (padded, scalars, bad)
 

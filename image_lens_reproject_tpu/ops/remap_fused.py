@@ -214,6 +214,7 @@ def make_plan(
     rb: int = 40,
     scan_unroll: int = 0,
     cb: int = 0,
+    channels: int = 3,
 ):
     """Device-compute the reusable (scalars, bad) prepass for one config."""
     from .pallas import remap_kernel
@@ -224,7 +225,7 @@ def make_plan(
             in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
             out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-            scan_unroll=scan_unroll, cb=cb,
+            scan_unroll=scan_unroll, cb=cb, channels=channels,
         )
     )
     return fn(rotation)

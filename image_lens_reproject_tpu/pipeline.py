@@ -343,6 +343,7 @@ def process_batch(
                     interp=opts.interp, n_samples=opts.n_samples,
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                     scan_unroll=scan_unroll, cb=cb,
+                    channels=int(batch.shape[3]),
                 )
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad)
                 _plan_cache_put(key, cached)
