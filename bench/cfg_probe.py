@@ -1,0 +1,134 @@
+"""Probe one BASELINE config on the real chip with explicit tilings.
+
+Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb [tr:ng:rb:su:cb ...]
+  cfg in {1, 2, 3, 4}   (see bench/baseline_configs.py)
+
+Prints one JSON line per tiling (chained iterations, fetch-overhead
+subtracted). Use to iterate on a single config without re-timing all five.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+ITERS = 30
+REPS = 3
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from image_lens_reproject_tpu.models.lens import (
+        FisheyeEquidistant, FisheyeEquisolid, Rectilinear,
+        full_equirectangular,
+    )
+    from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
+    from image_lens_reproject_tpu.ops import remap_fused
+
+    cfg = int(sys.argv[1])
+    tilings = []
+    for a in sys.argv[2:]:
+        parts = [int(x) for x in a.split(":")]
+        tr, ng, rb, su, cb = parts[:5]
+        zero_bad = bool(parts[5]) if len(parts) > 5 else False
+        tilings.append((tr, ng, rb, su, cb, zero_bad))
+
+    EQUIRECT = full_equirectangular()
+    if cfg == 1:
+        in_lens, out_lens = FisheyeEquidistant(math.pi, 36.0, 36.0), \
+            Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)
+        ih, iw, oh, ow, interp, rot_np, ch = 1080, 1080, 1080, 1920, "bilinear", None, 3
+        exposure = reinhard = 1.0
+    elif cfg == 2:
+        in_lens, out_lens = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0), EQUIRECT
+        ih, iw, oh, ow, interp, ch = 2048, 2048, 2048, 4096, "bilinear", 3
+        rot_np = rotation_matrix_degrees(30.0, 10.0, 5.0)
+        exposure = reinhard = 1.0
+    elif cfg == 3:
+        in_lens, out_lens = EQUIRECT, Rectilinear(35.0, 36.0, 36.0 * 2160 / 3840)
+        ih, iw, oh, ow, interp, ch = 1920, 3840, 2160, 3840, "bicubic", 3
+        rot_np = rotation_matrix_degrees(20.0, 5.0, 0.0)
+        exposure, reinhard = 2.0, 4.0
+    elif cfg == 4:
+        in_lens, out_lens = Rectilinear(50.0, 36.0, 36.0), \
+            FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+        ih, iw, oh, ow, interp, rot_np, ch = 2048, 2048, 2048, 2048, "bilinear", None, 4
+        exposure = reinhard = 1.0
+    else:
+        raise SystemExit(f"unknown cfg {cfg}")
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(0, 2, (ih, iw, ch)).astype(np.float32))
+    rot = None if rot_np is None else jnp.asarray(rot_np)
+
+    overhead = None
+    for tr, ng, rb, su, cb, zero_bad in tilings:
+        try:
+            scalars, bad = remap_fused.make_plan(
+                rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
+                out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=tr,
+                n_groups=ng, rb=rb, scan_unroll=su, cb=cb, channels=ch,
+            )
+            if zero_bad:
+                # Kernel-only rate probe: pretend every tile fits (output
+                # is WRONG in overflow regions — timing diagnostics only).
+                bad = jnp.zeros_like(bad)
+            frac_bad = float(jnp.mean(bad.astype(jnp.float32)))
+
+            @jax.jit
+            def chain(src_, seed, _s=scalars, _b=bad, _tr=tr, _ng=ng,
+                      _rb=rb, _su=su, _cb=cb):
+                return remap_fused.remap_tonemap_planned(
+                    src_ + seed * jnp.float32(1e-12), rot, _s, _b,
+                    in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
+                    interp=interp, n_samples=1, exposure=exposure,
+                    reinhard=reinhard, tile_rows=_tr, n_groups=_ng, rb=_rb,
+                    scan_unroll=_su, cb=_cb,
+                )
+
+            out = chain(src, jnp.float32(0.0))
+            np.asarray(out[0, :1, 0])
+            if overhead is None:
+                ohs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(out[0, :1, 0])
+                    ohs.append(time.perf_counter() - t0)
+                overhead = float(np.median(ohs))
+            rates = []
+            for _ in range(REPS):
+                seed = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for _ in range(ITERS):
+                    out = chain(src, seed)
+                    seed = out[0, 0, 0]
+                np.asarray(out[0, :1, 0])
+                dt = time.perf_counter() - t0 - overhead
+                rates.append(oh * ow * ITERS / dt / 1e6)
+            steady = rates[1:] if len(rates) > 1 else rates
+            print(json.dumps({
+                "cfg": cfg, "tile_rows": tr, "n_groups": ng, "rb": rb,
+                "scan_unroll": su, "cb": cb,
+                "mpix_s": round(float(np.median(steady)), 1),
+                "reps": [round(r, 1) for r in rates],
+                "frac_bad_subtiles": round(frac_bad, 4),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({
+                "cfg": cfg, "tile_rows": tr, "n_groups": ng, "rb": rb,
+                "scan_unroll": su, "cb": cb,
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -601,9 +601,14 @@ def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
-    cb: int = CB, max_chunks: int = 0,
+    cb: int = CB, max_chunks: int = 0, return_parts: bool = False,
 ):
-    """Per-tile window scalars + per-tile overflow mask (device-side, XLA).
+    """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
+
+    The mask is (n_ty, n_sub, n_tx): overflow is patched in 8-row
+    sub-tile units, so one folding sub-tile does not force a whole-tile
+    resample and the shared DMA/scan windows are placed to cover the
+    most sub-tiles rather than the whole-tile extremes.
 
     ``offsets`` is a sequence of sub-pixel (off_x, off_y) pairs whose tap
     windows are unioned — supersampled runs pass the extreme stratified
@@ -654,9 +659,57 @@ def _prepass(
     # 2*rb - 7 rows instead of the old page-fit worst case of ~rb + 1,
     # which nearly doubles the admitted row span per rb.
     h_pad = (n_rp + 1) * rb
-    r_base = jnp.clip(((rmin - margin) // 8) * 8, 0, max(h_pad - 2 * rb, 0))
-    ok_r = jnp.logical_and(
-        rmax + margin + 1 - r_base <= 2 * rb, rmin - margin - r_base >= 0
+    # COVERAGE-MAXIMIZING DMA ROW BASE. Overflow is tracked per 8-row
+    # SUB-TILE (each is patched independently), so the tile's shared
+    # (2*rb)-row DMA window should cover as many sub-tiles as possible —
+    # fitting the whole-tile extremes lets one wild sub-tile (a fold, a
+    # FOV boundary) evict every fitting neighbour. Each sub-tile's own
+    # 8-aligned base is a candidate; pick the one covering the most.
+    base_hi = max(h_pad - 2 * rb, 0)
+    r_cand = jnp.clip(((rmin_sub - margin) // 8) * 8, 0, base_hi)
+    r_fit = jnp.logical_and(
+        rmin_sub[:, None] - margin >= r_cand[:, :, None],
+        rmax_sub[:, None] + margin + 1 <= r_cand[:, :, None] + 2 * rb,
+    )  # (n_ty, cand, sub, n_tx)
+    r_base = jnp.take_along_axis(
+        r_cand, jnp.argmax(jnp.sum(r_fit, axis=2), axis=1)[:, None, :], axis=1
+    )[:, 0, :]
+    # COVERAGE-MAXIMIZING COLUMN WINDOW, same idea along the scan axis:
+    # the shared scan range [c_start, c_start + n_scan) is placed to
+    # cover the most sub-tiles within the chunk budget.
+    su = scan_unroll
+    n_chunks = min(32, -(-2 * cb // su))
+    budget = min(n_chunks, max_chunks) if max_chunks > 0 else n_chunks
+    budget_cols = budget * su
+    w_pad = (n_cp + 1) * cb
+    cmin_sub = _subtile_reduce(kmin_px, n_ty, n_tx, "min", tile_rows)
+    cmax_sub = _subtile_reduce(kmax_px, n_ty, n_tx, "max", tile_rows)
+    c_cand = jnp.clip(cmin_sub - margin, 0, max(w_pad - su, 0))
+    c_fit = jnp.logical_and(
+        cmin_sub[:, None] - margin >= c_cand[:, :, None],
+        cmax_sub[:, None] + margin + 1
+        <= jnp.minimum(c_cand[:, :, None] + budget_cols, w_pad),
+    )
+    c_start = jnp.take_along_axis(
+        c_cand, jnp.argmax(jnp.sum(c_fit, axis=2), axis=1)[:, None, :], axis=1
+    )[:, 0, :]
+    covered = jnp.logical_and(
+        cmin_sub - margin >= c_start[:, None, :],
+        cmax_sub + margin + 1
+        <= jnp.minimum(c_start[:, None, :] + budget_cols, w_pad),
+    )  # (n_ty, n_sub, n_tx)
+    # Scan length: the covered sub-tiles' max extent, padded to the
+    # kernel's unroll step (extra columns sit beyond every tap — weights
+    # identically zero — and _lanes_for keeps their reads in bounds).
+    ext = jnp.max(
+        jnp.where(covered, cmax_sub + margin + 1 - c_start[:, None, :], 1),
+        axis=1,
+    )
+    n_scan = ((jnp.maximum(ext, 1) + su - 1) // su) * su
+    n_scan = jnp.minimum(n_scan, ((w_pad - c_start) // su) * su)
+    n_scan = jnp.maximum(n_scan, su)
+    covered = jnp.logical_and(
+        covered, cmax_sub + margin + 1 <= c_start[:, None, :] + n_scan[:, None, :]
     )
     # SHEARED SUB-TILE WINDOWS. The kernel rolls each scan step's columns
     # PER 8-ROW SUB-TILE, with the roll shift drifting LINEARLY with the
@@ -665,11 +718,8 @@ def _prepass(
     # stretches) then only needs the group window to cover the residual
     # per-chunk thickness, not the whole tile's row span. The fit is
     # verified EXACTLY per scan chunk below — a chunk whose taps escape
-    # the predicted window marks the tile bad (patched), so the shear is
-    # a pure admission/performance feature.
-    c_start = cmin - margin
-    su = scan_unroll
-    n_chunks = min(32, -(-2 * cb // su))
+    # the predicted window marks its SUB-TILE bad (patched), so the shear
+    # is a pure admission/performance feature.
     big = jnp.int32(1 << 28)
     # Per-pixel scan-chunk range (a pixel's taps span <= 2 chunks).
     c_start_px = jnp.repeat(jnp.repeat(c_start, tile_rows, axis=0), TC, axis=1)
@@ -706,35 +756,24 @@ def _prepass(
     ok_hi = jnp.max(
         jnp.where(valid, win_lo + n_groups * 8, -big), axis=0
     ) <= 2 * rb
-    ok_r = jnp.logical_and(
-        ok_r, jnp.all(ok_span & ok_lo & ok_hi, axis=1)
-    )
-    row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
-    row_drift_sub = drift
-    w_pad = (n_cp + 1) * cb
-    c_start = cmin - margin
-    # Pad the scan length to the kernel's unroll factor: the extra columns
-    # sit beyond every tap (weights identically zero) and the DMA window
-    # slack (_lanes_for) keeps their reads in bounds.
-    n_scan = cmax - cmin + 2 * margin + 1
-    n_scan = ((n_scan + scan_unroll - 1) // scan_unroll) * scan_unroll
-    # DMA fetch: no page-pair fit — the scan start is exact (the kernel
-    # lane-rolls each fetched window); the window just has to live inside
-    # the padded source and the per-chunk-verified scan budget.
-    ok_c = jnp.logical_and(c_start >= 0, c_start + n_scan <= w_pad)
-    # The sheared windows were verified per scan chunk; tiles scanning
-    # past the verified chunk range fall back.
-    budget = min(n_chunks, max_chunks) if max_chunks > 0 else n_chunks
-    ok_c = jnp.logical_and(ok_c, n_scan <= budget * su)
-
-    ok_all = jnp.logical_and(ok_r, ok_c)
+    # Per-SUB-TILE admission: the sheared chunk windows must fit the group
+    # budget and the shared DMA row window, and the sub-tile's taps must
+    # lie inside the shared scan range. ok_lo/ok_hi subsume the whole-tile
+    # window-fit check (they bound every chunk window inside
+    # [r_base, r_base + 2*rb)), so a wild sub-tile no longer evicts its
+    # fitting neighbours — it is patched alone.
+    ok_sub = ok_span & ok_lo & ok_hi & covered
     if wrap:
         # Monotonized columns must stay inside the physical wrap margin.
-        ok_all = jnp.logical_and(ok_all, cmax <= PAD + in_w + cb + PAD + margin)
-    # Overflow tiles still run through the kernel (their output is patched
-    # afterwards); clamp their scan length so they cost one unroll step
-    # instead of scanning a frame-wide window of garbage.
-    n_scan = jnp.where(ok_all, n_scan, scan_unroll)
+        ok_sub = jnp.logical_and(
+            ok_sub, cmax_sub <= PAD + in_w + cb + PAD + margin
+        )
+    row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
+    row_drift_sub = drift
+    # Tiles with no usable sub-tile still run through the kernel (their
+    # output is fully patched afterwards); clamp their scan length so they
+    # cost one unroll step instead of scanning a frame-wide window.
+    n_scan = jnp.where(jnp.any(ok_sub, axis=1), n_scan, su)
     # Pack the per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
@@ -756,7 +795,31 @@ def _prepass(
     scalars = jnp.stack(fields, axis=-1).reshape(
         r_base.shape[0], r_base.shape[1] * SC
     )
-    return scalars, jnp.logical_not(ok_all)
+    if return_parts:
+        # Failure decomposition for diagnostics/tests: which admission
+        # check rejected each sub-tile (window fit, sheared spans, column
+        # coverage).
+        parts = {
+            "ok_window": jnp.logical_and(
+                rmax + margin + 1 - r_base <= 2 * rb,
+                rmin - margin - r_base >= 0,
+            ),
+            "ok_sub": ok_span & ok_lo & ok_hi,  # (n_ty, n_sub, n_tx)
+            "covered": covered,
+            "span_need": jnp.max(
+                jnp.where(valid, top, -big), axis=0
+            ),  # rows needed per sub-tile window
+            "chunk_thick": jnp.max(
+                jnp.where(valid, rmaxc - rminc, -big), axis=0
+            ),  # max within-chunk row span (per-chunk-shift admission)
+            "n_scan_raw": cmax - cmin + 2 * margin + 1,
+            "rmin_sub": rmin_sub,
+            "rmax_sub": rmax_sub,
+            "cmin_sub": cmin_sub,
+            "cmax_sub": cmax_sub,
+        }
+        return scalars, jnp.logical_not(ok_sub), parts
+    return scalars, jnp.logical_not(ok_sub)
 
 
 def _make_kernel(
@@ -1119,18 +1182,21 @@ def _remap_pallas_one(
     else:
         padded, scalars, bad = shared
     n_bad = jnp.sum(bad.astype(jnp.int32))
-    # Hybrid threshold: the patch samples bad tiles VECTORIZED in fixed
-    # chunks (cost scales with the actual bad count, one compiled chunk
-    # graph), so patching a fraction f of the frame costs ~f * full-XLA —
-    # break-even vs the full XLA path sits near f ~ 0.9 (the kernel's
-    # share is cheap). Cap at 60%: beyond that, measured configs are
-    # degenerate everywhere and full XLA avoids the kernel+patch overhead.
-    n_tiles = n_ty * n_tx
-    patch_chunk = max(1, n_tiles // 32)
-    max_bad = max(1, int(n_tiles * 0.60))
+    # Hybrid threshold: the patch samples bad SUB-TILES (8-row units —
+    # overflow is tracked per sub-tile, so one folding sub-tile no longer
+    # forces a whole-tile resample) VECTORIZED in fixed chunks (cost
+    # scales with the actual bad count, one compiled chunk graph), so
+    # patching a fraction f of the frame costs ~f * full-XLA — break-even
+    # vs the full XLA path sits near f ~ 0.9 (the kernel's share is
+    # cheap). Cap at 60%: beyond that, measured configs are degenerate
+    # everywhere and full XLA avoids the kernel+patch overhead.
+    n_sub = tile_rows // 8
+    n_units = n_ty * n_sub * n_tx
+    patch_chunk = max(1, n_units // 32)
+    max_bad = max(1, int(n_units * 0.60))
     n_chunks_cap = -(-max_bad // patch_chunk)
     cap_padded = n_chunks_cap * patch_chunk
-    bad_ty, bad_tx = jnp.nonzero(bad, size=cap_padded, fill_value=-1)
+    bad_ty, bad_h, bad_tx = jnp.nonzero(bad, size=cap_padded, fill_value=-1)
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -1206,22 +1272,24 @@ def _remap_pallas_one(
         wrap_mode = wrap_mode_for_input(in_lens)
         from .. import sampling as sampling_mod
 
-        def sample_chunk(c, buf):
+        def sample_chunk(c, planar):
             base = c * patch_chunk
-            ty = jnp.maximum(  # fill slots sample tile 0, never written
-                jax.lax.dynamic_slice(bad_ty, (base,), (patch_chunk,)), 0
-            )
-            tx = jnp.maximum(
-                jax.lax.dynamic_slice(bad_tx, (base,), (patch_chunk,)), 0
-            )
+            ty_raw = jax.lax.dynamic_slice(bad_ty, (base,), (patch_chunk,))
+            hh_raw = jax.lax.dynamic_slice(bad_h, (base,), (patch_chunk,))
+            tx_raw = jax.lax.dynamic_slice(bad_tx, (base,), (patch_chunk,))
+            # fill slots (-1) sample tile 0 but scatter out of bounds
+            # (start row -tile_rows), so FILL_OR_DROP discards them.
+            ty = jnp.maximum(ty_raw, 0)
+            hh = jnp.maximum(hh_raw, 0)
+            tx = jnp.maximum(tx_raw, 0)
             rows = jnp.minimum(
-                row0 + ty[:, None, None] * tile_rows
-                + jax.lax.broadcasted_iota(jnp.int32, (1, tile_rows, TC), 1),
+                row0 + (ty * tile_rows + hh * 8)[:, None, None]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 8, TC), 1),
                 out_h - 1,
             )
             cols = jnp.minimum(
                 tx[:, None, None] * TC
-                + jax.lax.broadcasted_iota(jnp.int32, (1, tile_rows, TC), 2),
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 8, TC), 2),
                 out_w - 1,
             )
             cx = (cols.astype(jnp.float32) + jnp.float32(0.5)) - jnp.float32(
@@ -1235,27 +1303,33 @@ def _remap_pallas_one(
                 out_h, out_w, xp=jnp,
             )
             vals = sampling_mod.sample(src_back, sx, sy, interp, wrap_mode)
-            patches = jnp.transpose(vals, (0, 3, 1, 2))  # (K, C, tr, TC)
-            return jax.lax.dynamic_update_slice(buf, patches, (base, 0, 0, 0))
-
-        n_patch = jnp.minimum(n_bad, max_bad)
-        patches_buf = jax.lax.fori_loop(
-            0,
-            -(-n_patch // patch_chunk),
-            sample_chunk,
-            jnp.zeros((cap_padded, c_ch, tile_rows, TC), jnp.float32),
-        )
-
-        def write_one(i, pl_):
-            # nonzero() packs real hits first: slots < n_bad valid.
-            patch = jax.lax.dynamic_slice(
-                patches_buf, (i, 0, 0, 0), (1, c_ch, tile_rows, TC)
-            )[0]
-            return jax.lax.dynamic_update_slice(
-                pl_, patch, (0, bad_ty[i] * tile_rows, bad_tx[i] * TC)
+            patches = jnp.transpose(vals, (0, 3, 1, 2))  # (K, C, 8, TC)
+            # Scatter this chunk's (8, TC) blocks in ONE vectorized write
+            # (the former per-unit fori of dynamic_update_slice cost ~us
+            # per bad unit — thousands of iterations at sub-tile
+            # granularity). Chunked inside the dynamic fori, the scatter
+            # cost scales with the ACTUAL bad count, not the 60% cap.
+            starts = jnp.stack(
+                [ty_raw * tile_rows + hh_raw * 8, tx_raw * TC], axis=-1
+            )
+            return jax.lax.scatter(
+                planar,
+                starts,
+                patches,
+                jax.lax.ScatterDimensionNumbers(
+                    update_window_dims=(1, 2, 3),
+                    inserted_window_dims=(),
+                    scatter_dims_to_operand_dims=(1, 2),
+                ),
+                indices_are_sorted=False,
+                unique_indices=False,
+                mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
             )
 
-        out_planar = jax.lax.fori_loop(0, n_patch, write_one, out_planar)
+        n_patch = jnp.minimum(n_bad, max_bad)
+        out_planar = jax.lax.fori_loop(
+            0, -(-n_patch // patch_chunk), sample_chunk, out_planar
+        )
         return jnp.transpose(out_planar[:, :band_rows, :out_w], (1, 2, 0))
 
     def xla_branch(operands):

@@ -81,8 +81,8 @@ def test_bad_tile_accounting():
         None, ((0.0, 0.0),), "bilinear", False, n_ty, n_tx, n_rp, n_cp,
         tile_rows, ng,
     )
-    n_bad = int(np.asarray(bad).sum())
-    assert 0 < n_bad <= (n_ty * n_tx)  # overflow ring exists
+    n_bad = int(np.asarray(bad).sum())  # bad is per 8-row sub-tile
+    assert 0 < n_bad <= (n_ty * (tile_rows // 8) * n_tx)  # overflow ring exists
 
 
 def test_image_roundtrip_property():

@@ -159,7 +159,7 @@ class TestKernelGolden:
         got = np.asarray(
             RK.remap_pallas(
                 src, None, in_lens=EQUIRECT, out_lens=RECT,
-                out_h=32, out_w=128, interp="bilinear", n_samples=2,
+                out_h=16, out_w=128, interp="bilinear", n_samples=2,
                 exposure=2.0, reinhard=4.0,
             )
         )
@@ -167,7 +167,7 @@ class TestKernelGolden:
 
         want = remap.remap_image(
             src, None, in_lens=EQUIRECT, out_lens=RECT,
-            out_h=32, out_w=128, interp="bilinear", n_samples=2,
+            out_h=16, out_w=128, interp="bilinear", n_samples=2,
         )
         want = np.asarray(color.post_process(want, 2.0, 4.0, xp=jnp))
         assert np.quantile(np.abs(got - want), 0.999) < 1e-4
@@ -198,14 +198,14 @@ class TestKernelGolden:
         got = np.asarray(
             RK.remap_pallas(
                 src, rot, in_lens=EQUISOLID, out_lens=EQUIRECT,
-                out_h=256, out_w=512, interp="bilinear", n_samples=1,
+                out_h=128, out_w=256, interp="bilinear", n_samples=1,
                 tile_rows=8, n_groups=20, rb=160,
             )
         )
         want = np.asarray(
             remap.remap_image(
                 src, rot, in_lens=EQUISOLID, out_lens=EQUIRECT,
-                out_h=256, out_w=512, interp="bilinear", n_samples=1,
+                out_h=128, out_w=256, interp="bilinear", n_samples=1,
             )
         )
         err = np.abs(got - want)
@@ -221,14 +221,14 @@ class TestKernelGolden:
         got = np.asarray(
             RK.remap_pallas(
                 src, None, in_lens=inl, out_lens=EQUISOLID,
-                out_h=256, out_w=256, interp="bilinear", n_samples=1,
+                out_h=128, out_w=256, interp="bilinear", n_samples=1,
                 tile_rows=8, n_groups=20, rb=160,
             )
         )
         want = np.asarray(
             remap.remap_image(
                 src, None, in_lens=inl, out_lens=EQUISOLID,
-                out_h=256, out_w=256, interp="bilinear", n_samples=1,
+                out_h=128, out_w=256, interp="bilinear", n_samples=1,
             )
         )
         err = np.abs(got - want)
@@ -258,9 +258,11 @@ class TestKernelGolden:
         # make_plan + remap_tonemap_planned must equal the unplanned call.
         from image_lens_reproject_tpu.ops import remap_fused
 
+        # Plumbing equality test (plan vs inline): a 4x2-tile grid keeps
+        # multi-tile coverage while staying fast in interpret mode.
         src = jnp.asarray(smooth(96, 192, 3, seed=11))
         rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, -3.0))
-        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=64, out_w=160,
+        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=16, out_w=160,
                   interp="bicubic", n_samples=2, tile_rows=8, n_groups=3, rb=40)
         scalars, bad = remap_fused.make_plan(rot, in_h=96, in_w=192, **kw)
         got = np.asarray(remap_fused.remap_tonemap_planned(
@@ -296,7 +298,7 @@ class TestKernelGolden:
         from image_lens_reproject_tpu.ops import remap_fused
 
         src = jnp.asarray(smooth(96, 96, 3, seed=12))
-        kw = dict(in_lens=EQUIDIST, out_lens=RECT, out_h=64, out_w=128,
+        kw = dict(in_lens=EQUIDIST, out_lens=RECT, out_h=32, out_w=128,
                   interp="bilinear", n_samples=1, tile_rows=8, n_groups=3, rb=40)
         scalars, bad = remap_fused.make_plan(None, in_h=96, in_w=96, **kw)
         got = np.asarray(remap_fused.remap_tonemap_planned(
