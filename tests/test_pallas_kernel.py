@@ -73,6 +73,12 @@ class TestKernelMath:
 
 
 class TestKernelGolden:
+    # Interpret-mode wall time scales with the scan body size, so most
+    # cases pin scan_unroll=8 — the unroll width is NOT what they test
+    # (test_equirect_to_rect covers the default, and bench/verify_onchip
+    # exercises su=16/40 on real hardware).
+    SU = 8
+
     @pytest.mark.parametrize("interp", ["nearest", "bilinear", "bicubic"])
     def test_equirect_to_rect(self, interp):
         src = jnp.asarray(smooth(96, 192, 3, seed=1))
@@ -109,6 +115,7 @@ class TestKernelGolden:
         out, ok = RK._remap_pallas_one(
             src, None, in_lens=RECT, out_lens=EQUIRECT,
             out_h=48, out_w=96, interp="bilinear", off_x=0.0, off_y=0.0,
+            scan_unroll=self.SU,
         )
         assert not bool(ok)
         want = np.asarray(
@@ -144,6 +151,7 @@ class TestKernelGolden:
                 RK.remap_pallas(
                     src, None, in_lens=EQUIRECT, out_lens=RECT,
                     out_h=32, out_w=128, interp="bilinear", n_samples=1,
+                    scan_unroll=self.SU,
                 )
             )
             want = np.asarray(
@@ -160,7 +168,7 @@ class TestKernelGolden:
             RK.remap_pallas(
                 src, None, in_lens=EQUIRECT, out_lens=RECT,
                 out_h=16, out_w=128, interp="bilinear", n_samples=2,
-                exposure=2.0, reinhard=4.0,
+                exposure=2.0, reinhard=4.0, scan_unroll=self.SU,
             )
         )
         from image_lens_reproject_tpu.ops import color
@@ -178,6 +186,7 @@ class TestKernelGolden:
             RK.remap_pallas(
                 src, None, in_lens=EQUISOLID, out_lens=EQUIRECT,
                 out_h=32, out_w=128, interp="bilinear", n_samples=1,
+                scan_unroll=self.SU,
             )
         )
         want = np.asarray(
@@ -199,7 +208,7 @@ class TestKernelGolden:
             RK.remap_pallas(
                 src, rot, in_lens=EQUISOLID, out_lens=EQUIRECT,
                 out_h=128, out_w=256, interp="bilinear", n_samples=1,
-                tile_rows=8, n_groups=20, rb=160,
+                tile_rows=8, n_groups=20, rb=160, scan_unroll=self.SU,
             )
         )
         want = np.asarray(
@@ -222,7 +231,7 @@ class TestKernelGolden:
             RK.remap_pallas(
                 src, None, in_lens=inl, out_lens=EQUISOLID,
                 out_h=128, out_w=256, interp="bilinear", n_samples=1,
-                tile_rows=8, n_groups=20, rb=160,
+                tile_rows=8, n_groups=20, rb=160, scan_unroll=self.SU,
             )
         )
         want = np.asarray(
@@ -263,7 +272,8 @@ class TestKernelGolden:
         src = jnp.asarray(smooth(96, 192, 3, seed=11))
         rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, -3.0))
         kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=16, out_w=160,
-                  interp="bicubic", n_samples=2, tile_rows=8, n_groups=3, rb=40)
+                  interp="bicubic", n_samples=2, tile_rows=8, n_groups=3, rb=40,
+                  scan_unroll=8)
         scalars, bad = remap_fused.make_plan(rot, in_h=96, in_w=192, **kw)
         got = np.asarray(remap_fused.remap_tonemap_planned(
             src, rot, scalars, bad, exposure=2.0, reinhard=4.0, **kw))
@@ -299,7 +309,8 @@ class TestKernelGolden:
 
         src = jnp.asarray(smooth(96, 96, 3, seed=12))
         kw = dict(in_lens=EQUIDIST, out_lens=RECT, out_h=32, out_w=128,
-                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=3, rb=40)
+                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=3, rb=40,
+                  scan_unroll=8)
         scalars, bad = remap_fused.make_plan(None, in_h=96, in_w=96, **kw)
         got = np.asarray(remap_fused.remap_tonemap_planned(
             src, None, scalars, bad, **kw))
@@ -319,6 +330,7 @@ class TestKernelGolden:
         got = np.asarray(RK.remap_pallas(
             src, None, in_lens=part, out_lens=RECT,
             out_h=64, out_w=128, interp="bilinear", n_samples=1,
+            scan_unroll=8,
         ))
         want = np.asarray(remap.remap_image(
             src, None, in_lens=part, out_lens=RECT,
@@ -330,6 +342,7 @@ class TestKernelGolden:
         got2 = np.asarray(RK.remap_pallas(
             src, None, in_lens=EQUIRECT, out_lens=part,
             out_h=64, out_w=128, interp="bilinear", n_samples=1,
+            scan_unroll=8,
         ))
         want2 = np.asarray(remap.remap_image(
             src, None, in_lens=EQUIRECT, out_lens=part,
