@@ -1,7 +1,9 @@
 """Probe one BASELINE config on the real chip with explicit tilings.
 
-Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb [tr:ng:rb:su:cb ...]
+Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r]] [...]
   cfg in {1, 2, 3, 4}   (see bench/baseline_configs.py)
+  z=1: zero the bad mask (kernel-only rate; WRONG pixels — timing only)
+  r=1: enable the pass-2 rescue (cap auto-sized from the plan)
 
 Prints one JSON line per tiling (chained iterations, fetch-overhead
 subtracted). Use to iterate on a single config without re-timing all five.
@@ -39,7 +41,8 @@ def main() -> int:
         parts = [int(x) for x in a.split(":")]
         tr, ng, rb, su, cb = parts[:5]
         zero_bad = bool(parts[5]) if len(parts) > 5 else False
-        tilings.append((tr, ng, rb, su, cb, zero_bad))
+        use_rescue = bool(parts[6]) if len(parts) > 6 else False
+        tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue))
 
     EQUIRECT = full_equirectangular()
     if cfg == 1:
@@ -70,13 +73,22 @@ def main() -> int:
     rot = None if rot_np is None else jnp.asarray(rot_np)
 
     overhead = None
-    for tr, ng, rb, su, cb, zero_bad in tilings:
+    for tr, ng, rb, su, cb, zero_bad, use_rescue in tilings:
         try:
-            scalars, bad = remap_fused.make_plan(
+            plan = remap_fused.make_plan(
                 rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
                 out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=tr,
                 n_groups=ng, rb=rb, scan_unroll=su, cb=cb, channels=ch,
+                with_rescue=use_rescue,
             )
+            scalars, bad = plan[:2]
+            rescue = plan[2] if use_rescue else None
+            cap = 0
+            if use_rescue:
+                n_resc = int(np.asarray(
+                    jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
+                ))
+                cap = max(128, -(-n_resc // 128) * 128) if n_resc else 0
             if zero_bad:
                 # Kernel-only rate probe: pretend every tile fits (output
                 # is WRONG in overflow regions — timing diagnostics only).
@@ -84,14 +96,14 @@ def main() -> int:
             frac_bad = float(jnp.mean(bad.astype(jnp.float32)))
 
             @jax.jit
-            def chain(src_, seed, _s=scalars, _b=bad, _tr=tr, _ng=ng,
-                      _rb=rb, _su=su, _cb=cb):
+            def chain(src_, seed, _s=scalars, _b=bad, _r=rescue, _tr=tr,
+                      _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap):
                 return remap_fused.remap_tonemap_planned(
-                    src_ + seed * jnp.float32(1e-12), rot, _s, _b,
+                    src_ + seed * jnp.float32(1e-12), rot, _s, _b, _r,
                     in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                     interp=interp, n_samples=1, exposure=exposure,
                     reinhard=reinhard, tile_rows=_tr, n_groups=_ng, rb=_rb,
-                    scan_unroll=_su, cb=_cb,
+                    scan_unroll=_su, cb=_cb, rescue_cap=_cap,
                 )
 
             out = chain(src, jnp.float32(0.0))
@@ -120,6 +132,7 @@ def main() -> int:
                 "mpix_s": round(float(np.median(steady)), 1),
                 "reps": [round(r, 1) for r in rates],
                 "frac_bad_subtiles": round(frac_bad, 4),
+                "rescue_cap": cap,
             }), flush=True)
         except Exception as e:
             print(json.dumps({

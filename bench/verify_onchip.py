@@ -70,6 +70,11 @@ def main() -> int:
         ("equirect->rect seam180 bl WW", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8, 0, 40),
         ("equisolid->equirect bl WW g2", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16, 0, 40),
         ("equirect->rect nn WW", EQUIRECT, RECT, "nearest", rot, (256, 512), (256, 256), 8, 0, 40),
+        # rescue pass: bad sub-tiles recomputed by the compact
+        # whole-window launch (per-slot own windows) before XLA patching
+        ("rect->equisolid RESCUE", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
+        ("equisolid->equirect rot RESCUE", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
+        ("equirect->rect seam RESCUE bc", EQUIRECT, RECT, "bicubic", rot180, (256, 512), (256, 256), 16, 1, 16),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -81,6 +86,12 @@ def main() -> int:
         "equisolid->equirect bl WW g2": -2,
         "equirect->rect nn WW": -1,
     }
+    # rescue_cap override: > 0 enables the pass-2 compact rescue launch.
+    cap_for = {
+        "rect->equisolid RESCUE": 512,
+        "equisolid->equirect rot RESCUE": 512,
+        "equirect->rect seam RESCUE bc": 128,
+    }
 
     failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
@@ -91,6 +102,7 @@ def main() -> int:
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,
             out_h=oh, out_w=ow, interp=interp, n_samples=ns, tile_rows=trows,
             n_groups=ng, rb=rb, scan_unroll=su_for.get(name, 0),
+            rescue_cap=cap_for.get(name, 0),
         )
         got = np.asarray(out)
         want = oracle.oracle_remap(

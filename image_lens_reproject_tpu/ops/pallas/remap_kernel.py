@@ -93,6 +93,16 @@ def _resolve_su(scan_unroll: int, c_ch: int):
         return (g * 128) // c_ch, g
     return (scan_unroll if scan_unroll > 0 else SCAN_UNROLL), 0
 
+# RESCUE PASS (pass 2) statics: sub-tiles the main kernel's shared
+# windows reject are re-run through a COMPACT whole-window launch with
+# per-sub-tile OWN windows (one (2*RESCUE_RB, (RESCUE_G+1)*128) DMA per
+# slot, RESCUE_NG*8 gather rows) before falling back to the ~30 ns/px
+# XLA patch. Admission is per sub-tile: row span <= RESCUE_NG*8 and
+# column extent * channels <= RESCUE_G*128.
+RESCUE_RB = 40
+RESCUE_NG = 8
+RESCUE_G = 6
+
 # Default row-group count per 8-row SUB-TILE (each sub-tile has its own
 # roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
 # spans up to groups*8 - 2*MARGIN - taps source rows). suggest_tiling
@@ -602,6 +612,7 @@ def _prepass(
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
     cb: int = CB, max_chunks: int = 0, return_parts: bool = False,
+    rescue_channels: int = 0,
 ):
     """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
 
@@ -774,6 +785,41 @@ def _prepass(
     # output is fully patched afterwards); clamp their scan length so they
     # cost one unroll step instead of scanning a frame-wide window.
     n_scan = jnp.where(jnp.any(ok_sub, axis=1), n_scan, su)
+
+    rescue = None
+    if rescue_channels > 0:
+        # Pass-2 admission: each sub-tile gets its OWN whole-window —
+        # an 8-aligned row base and an exact column start, checked
+        # against the rescue kernel's fixed budgets. shift2 aligns the
+        # sub-tile's window start to gather row 0 (single shift, no
+        # drift: the whole window rides in RESCUE_G vregs).
+        hw2 = 2 * RESCUE_RB
+        r_base2 = jnp.clip(
+            ((rmin_sub - margin) // 8) * 8, 0, max(h_pad - hw2, 0)
+        )
+        shift2 = rmin_sub - margin - r_base2
+        span2 = rmax_sub - rmin_sub + 2 * margin + 1
+        c_start2 = cmin_sub - margin
+        ext2 = cmax_sub - cmin_sub + 2 * margin + 1
+        ok2 = (
+            (shift2 >= 0)
+            & (rmax_sub + margin + 1 - r_base2 <= hw2)
+            & (span2 <= RESCUE_NG * 8)
+            & (shift2 + RESCUE_NG * 8 <= hw2)
+            & (c_start2 >= 0)
+            & (ext2 * rescue_channels <= RESCUE_G * 128)
+            & (c_start2 + ext2 <= w_pad)
+        )
+        if wrap:
+            ok2 = ok2 & (cmax_sub <= PAD + in_w + cb + PAD + margin)
+        rescue = jnp.stack(
+            [
+                r_base2.astype(jnp.int32),
+                c_start2.astype(jnp.int32),
+                jnp.clip(shift2, 0, hw2 - 1).astype(jnp.int32),
+                ok2.astype(jnp.int32),
+            ]
+        )  # (4, n_ty, n_sub, n_tx)
     # Pack the per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
@@ -819,6 +865,8 @@ def _prepass(
             "cmax_sub": cmax_sub,
         }
         return scalars, jnp.logical_not(ok_sub), parts
+    if rescue is not None:
+        return scalars, jnp.logical_not(ok_sub), rescue
     return scalars, jnp.logical_not(ok_sub)
 
 
@@ -826,7 +874,7 @@ def _make_kernel(
     in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
     scan_unroll: int = SCAN_UNROLL, cb: int = CB,
-    h_pad: int = 0, wl: int = 0, gchunks: int = 0,
+    h_pad: int = 0, wl: int = 0, gchunks: int = 0, compact: bool = False,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -882,13 +930,22 @@ def _make_kernel(
             dma_for(0, 0, 0, 0).start()
 
         row0_k = rot_ref[0, 11].astype(jnp.int32)
+        if compact:
+            # Compacted rescue launch: each grid slot is ONE bad 8-row
+            # sub-tile; its output position rides in scalar slots 5 (row)
+            # and 8 (column) instead of deriving from (ty, tx).
+            out_r0 = scalars_s[ty, tx * SC + 5]
+            out_c0 = scalars_s[ty, tx * SC + 8]
+        else:
+            out_r0 = ty * tile_rows
+            out_c0 = tx * TC
         rows = jnp.minimum(
-            row0_k + ty * tile_rows
+            row0_k + out_r0
             + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 0),
             out_h - 1,
         )
         cols = jnp.minimum(
-            tx * TC + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
+            out_c0 + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, TC), 1),
             out_w - 1,
         )
         # Sub-pixel supersample offsets ride in SMEM slots 9/10 so one
@@ -1142,6 +1199,7 @@ def _remap_pallas_one(
     shared=None,
     row0=0,
     band_rows: int = 0,
+    rescue_cap: int = 0,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (band_rows, out_w, C), ok flag).
 
@@ -1150,9 +1208,15 @@ def _remap_pallas_one(
     (band_rows=0 means the full image). row0 may be traced
     (jax.lax.axis_index under shard_map).
 
-    ``shared``: optional (padded, scalars, bad) from a previous subsample
-    of the same run (the prepass unions tap windows over the extreme
-    stratified offsets; the block stack is offset-independent).
+    ``shared``: optional (padded, scalars, bad[, rescue]) from a previous
+    subsample of the same run (the prepass unions tap windows over the
+    extreme stratified offsets; the block stack is offset-independent).
+
+    ``rescue_cap`` > 0 (static) enables the pass-2 rescue: up to that
+    many bad sub-tiles whose OWN whole-window fits the rescue budgets
+    are recomputed exactly by a compact whole-window launch instead of
+    the ~30 ns/px XLA patch. Size it from the plan's rescuable count
+    (see make_prepass(with_rescue=True)).
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1169,18 +1233,33 @@ def _remap_pallas_one(
     n_ty = -(-band_rows // tile_rows)
     n_tx = -(-out_w // TC)
 
+    rescue = None
     if shared is None:
         padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb)
         n_rp = h_pad // rb - 1
         n_cp = w_pad // cb - 1
-        scalars, bad = _prepass(
+        pre = _prepass(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
             tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
             cb=cb, max_chunks=1 if gchunks else 0,
+            rescue_channels=c_ch if rescue_cap > 0 else 0,
         )
+        (scalars, bad), rescue = pre[:2], (pre[2] if len(pre) > 2 else None)
+    elif len(shared) > 3:
+        padded, scalars, bad, rescue = shared
     else:
         padded, scalars, bad = shared
+    # Rescue feasibility is static: the pass-2 DMA window must fit the
+    # padded source, and the cap must be sized (> 0) by the caller.
+    if (
+        rescue is None
+        or rescue_cap <= 0
+        or int(padded.shape[0]) < 2 * RESCUE_RB
+        or int(padded.shape[1]) < (RESCUE_G + 1) * 128
+    ):
+        rescue = None
+        rescue_cap = 0
     n_bad = jnp.sum(bad.astype(jnp.int32))
     # Hybrid threshold: the patch samples bad SUB-TILES (8-row units —
     # overflow is tracked per sub-tile, so one folding sub-tile no longer
@@ -1196,7 +1275,21 @@ def _remap_pallas_one(
     max_bad = max(1, int(n_units * 0.60))
     n_chunks_cap = -(-max_bad // patch_chunk)
     cap_padded = n_chunks_cap * patch_chunk
-    bad_ty, bad_h, bad_tx = jnp.nonzero(bad, size=cap_padded, fill_value=-1)
+    if rescue is not None:
+        # Pass-2 set: bad sub-tiles whose own window fits the rescue
+        # budgets, capped at rescue_cap in row-major order (overflow
+        # beyond the cap falls through to the XLA patch).
+        resc_ok = jnp.logical_and(bad, rescue[3] > 0)
+        flat = resc_ok.reshape(-1)
+        taken = jnp.logical_and(
+            flat, jnp.cumsum(flat.astype(jnp.int32)) <= rescue_cap
+        ).reshape(resc_ok.shape)
+        patch_mask = jnp.logical_and(bad, jnp.logical_not(taken))
+        n_bad = jnp.sum(patch_mask.astype(jnp.int32))  # XLA-patched units
+        r_ty, r_h, r_tx = jnp.nonzero(taken, size=rescue_cap, fill_value=-1)
+    else:
+        patch_mask = bad
+    bad_ty, bad_h, bad_tx = jnp.nonzero(patch_mask, size=cap_padded, fill_value=-1)
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -1260,6 +1353,89 @@ def _remap_pallas_one(
             grid_spec=grid_spec,
             interpret=_INTERPRET,
         )(scalars, rot_, padded_)
+
+        if rescue is not None:
+            # PASS-2 RESCUE: recompute the capped rescuable sub-tiles with
+            # a COMPACT whole-window launch (one grid slot per bad 8-row
+            # sub-tile, per-slot OWN windows from the rescue prepass) —
+            # exact like the main kernel, ~7x cheaper than the XLA patch.
+            rc = jnp.maximum(r_ty, 0)
+            rh = jnp.maximum(r_h, 0)
+            rx = jnp.maximum(r_tx, 0)
+
+            def g3(a):
+                return a[rc, rh, rx].astype(jnp.int32)
+
+            seam_tile = scalars.reshape(n_ty, n_tx, SC)[..., 4]
+            zero_s = jnp.zeros((rescue_cap,), jnp.int32)
+            fields2 = [
+                zero_s,
+                g3(rescue[0]),            # slot 1: DMA row base
+                g3(rescue[1]),            # slot 2: scan start column
+                zero_s,                   # slot 3: n_scan (unused by WW)
+                seam_tile[rc, rx].astype(jnp.int32),  # slot 4: seam
+                (rc * tile_rows + rh * 8).astype(jnp.int32),  # slot 5: out row
+                g3(rescue[2]),            # slot 6: window shift
+                zero_s,                   # slot 7: drift (unused)
+                (rx * TC).astype(jnp.int32),          # slot 8: out col
+            ]
+            fields2 += [zero_s] * (SC - len(fields2))
+            scalars2 = jnp.stack(fields2, axis=-1)  # (cap, SC)
+
+            kernel2 = _make_kernel(
+                in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
+                interp, wrap, has_rotation, 8, RESCUE_NG, rb=RESCUE_RB,
+                scan_unroll=(RESCUE_G * 128) // c_ch, cb=cb,
+                h_pad=int(padded.shape[0]), wl=int(padded.shape[1]),
+                gchunks=RESCUE_G, compact=True,
+            )
+            grid_spec2 = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rescue_cap, 1),
+                in_specs=[
+                    pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (c_ch, 8, TC),
+                    lambda ty, tx, *_: (0, ty, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM(
+                        (2, 2 * RESCUE_RB, (RESCUE_G + 1) * 128), jnp.float32
+                    ),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            out2 = pl.pallas_call(
+                kernel2,
+                out_shape=jax.ShapeDtypeStruct(
+                    (c_ch, rescue_cap * 8, TC), jnp.float32
+                ),
+                grid_spec=grid_spec2,
+                interpret=_INTERPRET,
+            )(scalars2, rot_, padded_)
+            updates2 = jnp.transpose(
+                out2.reshape(c_ch, rescue_cap, 8, TC), (1, 0, 2, 3)
+            )
+            starts2 = jnp.stack(
+                [r_ty * tile_rows + r_h * 8, r_tx * TC], axis=-1
+            )
+            out_planar = jax.lax.scatter(
+                out_planar,
+                starts2,
+                updates2,
+                jax.lax.ScatterDimensionNumbers(
+                    update_window_dims=(1, 2, 3),
+                    inserted_window_dims=(),
+                    scatter_dims_to_operand_dims=(1, 2),
+                ),
+                indices_are_sorted=False,
+                unique_indices=False,
+                mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+            )
 
         # Patch overflow tiles with exact XLA-sampled values. Sampling is
         # VECTORIZED in fixed-size chunks over the bad-tile list (a
@@ -1392,7 +1568,8 @@ def make_prepass(
     row0=0,
     band_rows: int = 0,
     channels: int = 3,
-) -> Tuple[Array, Array]:
+    with_rescue: bool = False,
+) -> Tuple[Array, ...]:
     """Precompute the per-tile window scalars + overflow mask (a "plan").
 
     The prepass depends only on the lens configuration — not on pixel
@@ -1401,6 +1578,11 @@ def make_prepass(
     result to ``remap_pallas(..., prepass=...)``, saving ~10% per frame.
     Supersampled runs union the windows over the extreme stratified
     offsets so one plan covers every launch.
+
+    ``with_rescue=True`` returns (scalars, bad, rescue): the extra
+    per-sub-tile pass-2 window fields. Size ``rescue_cap`` from
+    ``int((bad & (rescue[3] > 0)).sum())`` — the prepass is config-only,
+    so the count is constant across the frame stream.
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1427,6 +1609,7 @@ def make_prepass(
         h_pad // rb - 1, w_pad // cb - 1, tile_rows, n_groups,
         row0=row0, rb=rb, scan_unroll=su_eff, cb=cb,
         max_chunks=1 if gchunks else 0,
+        rescue_channels=channels if with_rescue else 0,
     )
 
 
@@ -1449,7 +1632,8 @@ def remap_pallas(
     cb: int = 0,
     row0=0,
     band_rows: int = 0,
-    prepass: Optional[Tuple[Array, Array]] = None,
+    prepass: Optional[Tuple[Array, ...]] = None,
+    rescue_cap: int = 0,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
@@ -1458,6 +1642,10 @@ def remap_pallas(
     source row span to stay within the group window (n_groups*8 rows,
     bounded by the 2*rb block height) — see ``suggest_tiling`` for a safe
     choice.
+
+    ``prepass``: (scalars, bad) or (scalars, bad, rescue) from
+    make_prepass; pass ``rescue_cap`` > 0 (static, sized from the plan's
+    rescuable count) with the 3-tuple to enable the pass-2 rescue.
     """
     from .. import color as color_ops
 
@@ -1473,7 +1661,10 @@ def remap_pallas(
         wrap = wrap_mode_for_input(in_lens)
         padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb_eff)
         if prepass is not None:
-            scalars, bad = prepass
+            if len(prepass) > 2:
+                scalars, bad, rescue_f = prepass
+            else:
+                (scalars, bad), rescue_f = prepass, None
         else:
             in_h, in_w = int(src.shape[0]), int(src.shape[1])
             if n_groups <= 0:
@@ -1483,14 +1674,22 @@ def remap_pallas(
             n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
             n_tx = -(-out_w // TC)
             su_eff, gch = _resolve_su(scan_unroll, int(src.shape[2]))
-            scalars, bad = _prepass(
+            pre = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
                 rotation, _prepass_offsets(n_samples), interp, wrap,
                 n_ty, n_tx, h_pad // rb - 1, w_pad // cb_eff - 1, tile_rows,
                 n_groups_eff, row0=row0, rb=rb, scan_unroll=su_eff,
                 cb=cb_eff, max_chunks=1 if gch else 0,
+                rescue_channels=int(src.shape[2]) if rescue_cap > 0 else 0,
             )
-        shared = (padded, scalars, bad)
+            (scalars, bad), rescue_f = pre[:2], (
+                pre[2] if len(pre) > 2 else None
+            )
+        shared = (
+            (padded, scalars, bad, rescue_f)
+            if rescue_f is not None
+            else (padded, scalars, bad)
+        )
 
     acc = None
     for off_x in offsets:
@@ -1503,6 +1702,7 @@ def remap_pallas(
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                 scan_unroll=scan_unroll, cb=cb,
                 shared=shared, row0=row0, band_rows=band_rows,
+                rescue_cap=rescue_cap,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))

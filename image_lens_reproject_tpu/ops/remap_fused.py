@@ -109,6 +109,7 @@ def remap_tonemap(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
+        "rescue_cap",
     ),
 )
 def remap_tonemap_planned(
@@ -116,6 +117,7 @@ def remap_tonemap_planned(
     rotation: Optional[jax.Array],
     scalars: jax.Array,
     bad: jax.Array,
+    rescue: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -130,21 +132,27 @@ def remap_tonemap_planned(
     rb: int = 40,
     scan_unroll: int = 0,
     cb: int = 0,
+    rescue_cap: int = 0,
 ) -> jax.Array:
     """remap_tonemap with a precomputed prepass (see make_plan).
 
     The prepass depends only on the lens configuration, so a frame stream
     (pipeline directory mode) computes it once — ~10% per-frame saving at
-    4K, more at smaller resolutions.
+    4K, more at smaller resolutions. Pass ``rescue`` (from
+    make_plan(with_rescue=True)) plus a static ``rescue_cap`` > 0 to
+    recompute rescuable overflow sub-tiles with the exact pass-2 kernel
+    instead of the XLA patch.
     """
     from .pallas import remap_kernel
 
+    pre = (scalars, bad) if rescue is None else (scalars, bad, rescue)
     return remap_kernel.remap_pallas(
         src, rotation,
         in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
         interp=interp, n_samples=n_samples, exposure=exposure,
         reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-        scan_unroll=scan_unroll, cb=cb, prepass=(scalars, bad),
+        scan_unroll=scan_unroll, cb=cb, prepass=pre,
+        rescue_cap=rescue_cap if rescue is not None else 0,
     )
 
 
@@ -153,6 +161,7 @@ def remap_tonemap_planned(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
+        "rescue_cap",
     ),
 )
 def remap_tonemap_planned_batch(
@@ -160,6 +169,7 @@ def remap_tonemap_planned_batch(
     rotation: Optional[jax.Array],
     scalars: jax.Array,
     bad: jax.Array,
+    rescue: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -174,6 +184,7 @@ def remap_tonemap_planned_batch(
     rb: int = 40,
     scan_unroll: int = 0,
     cb: int = 0,
+    rescue_cap: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) -> (B, out_h, out_w, C) in ONE device dispatch.
 
@@ -184,13 +195,17 @@ def remap_tonemap_planned_batch(
     """
     from .pallas import remap_kernel
 
+    pre = (scalars, bad) if rescue is None else (scalars, bad, rescue)
+    cap = rescue_cap if rescue is not None else 0
+
     def body(_, img):
         out = remap_kernel.remap_pallas(
             img, rotation,
             in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
             interp=interp, n_samples=n_samples, exposure=exposure,
             reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
-            rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=(scalars, bad),
+            rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=pre,
+            rescue_cap=cap,
         )
         return None, out
 
@@ -215,8 +230,11 @@ def make_plan(
     scan_unroll: int = 0,
     cb: int = 0,
     channels: int = 3,
+    with_rescue: bool = False,
 ):
-    """Device-compute the reusable (scalars, bad) prepass for one config."""
+    """Device-compute the reusable (scalars, bad[, rescue]) prepass for one
+    config. ``with_rescue=True`` adds the pass-2 per-sub-tile window
+    fields (see remap_kernel.make_prepass)."""
     from .pallas import remap_kernel
 
     fn = jax.jit(
@@ -226,6 +244,7 @@ def make_plan(
             out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
+            with_rescue=with_rescue,
         )
     )
     return fn(rotation)

@@ -335,7 +335,7 @@ def process_batch(
                     opts.rotation, opts.interp,
                     channels=int(batch.shape[3]),
                 )
-                scalars, bad = remap_fused.make_plan(
+                scalars, bad, rescue = remap_fused.make_plan(
                     rot,
                     in_lens=opts.input_lens, out_lens=opts.output_lens,
                     in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
@@ -344,11 +344,22 @@ def process_batch(
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                     scan_unroll=scan_unroll, cb=cb,
                     channels=int(batch.shape[3]),
+                    with_rescue=True,
                 )
-                cached = (tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad)
+                # Pass-2 rescue cap: the prepass is config-only, so the
+                # rescuable count is constant across the frame stream —
+                # one tiny plan-time device fetch sizes the static cap.
+                n_resc = int(np.asarray(jnp.sum(jnp.logical_and(
+                    bad, rescue[3] > 0))))
+                rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
+                if rescue_cap == 0:
+                    rescue = None
+                cached = (tile_rows, n_groups, rb, scan_unroll, cb,
+                          scalars, bad, rescue, rescue_cap)
                 _plan_cache_put(key, cached)
                 _log_plan(opts, cached[:5], batch.shape[1:])
-            tile_rows, n_groups, rb, scan_unroll, cb, scalars, bad = cached
+            (tile_rows, n_groups, rb, scan_unroll, cb,
+             scalars, bad, rescue, rescue_cap) = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms
             # of tunnel/dispatch latency, so per-image launches taxed
@@ -359,6 +370,8 @@ def process_batch(
                 rot,
                 scalars,
                 bad,
+                rescue,
+                rescue_cap=rescue_cap,
                 in_lens=opts.input_lens,
                 out_lens=opts.output_lens,
                 out_h=opts.out_height,

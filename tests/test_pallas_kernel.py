@@ -349,3 +349,32 @@ class TestKernelGolden:
             out_h=64, out_w=128, interp="bilinear", n_samples=1,
         ))
         assert np.quantile(np.abs(got2 - want2), 0.999) < 1e-4
+
+    def test_rescue_pass_exact_and_capped(self):
+        # Pass-2 rescue: overflow sub-tiles whose own whole-window fits
+        # the rescue budgets are recomputed by the compact kernel launch
+        # instead of the XLA patch — output must match the XLA reference. A cap smaller than the rescuable count
+        # must fall the excess through to the patch (and fill-slot
+        # scatter drops must land nowhere).
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(96, 96, 3, seed=14))
+        inl = Rectilinear(50.0, 36.0, 36.0)
+        kw = dict(in_lens=inl, out_lens=EQUISOLID, out_h=32, out_w=128,
+                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=3,
+                  rb=40, scan_unroll=8)
+        scalars, bad, rescue = remap_fused.make_plan(
+            None, in_h=96, in_w=96, channels=3, with_rescue=True, **kw)
+        n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+        assert n_resc > 2  # the annulus must produce rescuable sub-tiles
+        oracle = np.asarray(remap.remap_image(
+            src, None, in_lens=inl, out_lens=EQUISOLID,
+            out_h=32, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        # cap=2 < n_resc: two sub-tiles ride the compact rescue launch,
+        # the rest fall through to the XLA patch. (cap > count — fill
+        # slots dropped by the scatter — is covered on real hardware by
+        # bench/verify_onchip's RESCUE cases, cap 512.)
+        capped = np.asarray(remap_fused.remap_tonemap_planned(
+            src, None, scalars, bad, rescue, rescue_cap=2, **kw))
+        assert np.quantile(np.abs(capped - oracle), 0.999) < 1e-4

@@ -226,11 +226,18 @@ def _stub_kernel_path(monkeypatch):
         remap_kernel, "suggest_tiling",
         lambda *a, **k: (8, 1, 40, 32, 256),
     )
-    monkeypatch.setattr(remap_fused, "make_plan", lambda *a, **k: (None, None))
+    import jax.numpy as jnp
 
-    def fake_planned_batch(batch, rot, scalars, bad, *, in_lens, out_lens,
-                           out_h, out_w, interp, n_samples, exposure,
-                           reinhard, **tiling):
+    def fake_plan(*a, **k):
+        # (scalars, bad, rescue) with zero bad sub-tiles -> rescue_cap 0
+        return (None, jnp.zeros((1, 1, 1), bool),
+                jnp.zeros((4, 1, 1, 1), jnp.int32))
+
+    monkeypatch.setattr(remap_fused, "make_plan", fake_plan)
+
+    def fake_planned_batch(batch, rot, scalars, bad, rescue=None, *,
+                           in_lens, out_lens, out_h, out_w, interp,
+                           n_samples, exposure, reinhard, **tiling):
         calls.append("kernel")
         out = remap.remap_batch_jit(
             batch, rot, in_lens=in_lens, out_lens=out_lens,
