@@ -88,12 +88,18 @@ def main() -> int:
     )
     # The prepass depends only on the config; a frame stream computes it
     # once (pipeline directory mode does the same via its plan cache).
-    scalars, bad = remap_fused.make_plan(
+    scalars, bad, rescue = remap_fused.make_plan(
         rot, in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
-        cb=cb,
+        cb=cb, with_rescue=True,
     )
+    # Pass-2 rescue cap, sized once from the config-only plan (mirrors
+    # pipeline.py:process_batch; the headline config usually has 0).
+    n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+    rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
+    if rescue_cap == 0:
+        rescue = None
 
     @jax.jit
     def chain(src_, seed):
@@ -104,6 +110,8 @@ def main() -> int:
             rot,
             scalars,
             bad,
+            rescue,
+            rescue_cap=rescue_cap,
             in_lens=in_lens,
             out_lens=out_lens,
             out_h=OUT_H,
@@ -179,6 +187,7 @@ def main() -> int:
         "rb": rb,
         "scan_unroll": scan_unroll,
         "cb": cb,
+        "rescued_subtiles": n_resc,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),

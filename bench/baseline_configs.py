@@ -58,17 +58,23 @@ def main() -> int:
         tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
         )
-        # Planned prepass, as the pipeline does for a frame stream.
-        scalars, bad = remap_fused.make_plan(
+        # Planned prepass + pass-2 rescue cap, as the pipeline does for a
+        # frame stream (pipeline.py:process_batch).
+        scalars, bad, rescue = remap_fused.make_plan(
             rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-            scan_unroll=scan_unroll, cb=cb,
+            scan_unroll=scan_unroll, cb=cb, channels=channels,
+            with_rescue=True,
         )
+        n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+        rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
+        if rescue_cap == 0:
+            rescue = None
 
         def fn(s):
             return remap_fused.remap_tonemap_planned(
-                s, rot, scalars, bad,
+                s, rot, scalars, bad, rescue, rescue_cap=rescue_cap,
                 in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
@@ -82,6 +88,7 @@ def main() -> int:
             "config": name, "mpix_per_s": round(mpixps, 1),
             "tile_rows": tile_rows, "groups": n_groups, "rb": rb,
             "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
+            "rescued_subtiles": n_resc,
         }), flush=True)
 
     RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)
