@@ -7,28 +7,32 @@ gather; the one per-element dynamic primitive Mosaic exposes on this
 target is the *sublane* gather (``take_along_axis(op, idx, axis=0)`` with
 an (8, L) operand). This kernel is built around it:
 
-  * The output is tiled (8 x 128). An XLA prepass computes every tile's
-    source-texel window (exact tap extremes) and quantizes it onto a
-    (CB, rb) page grid of the TRANSPOSED padded source (columns on
-    sublanes, rows on lanes): each tile's 2*CB x 2*rb window is four
-    adjacent pages, fetched by four BlockSpecs over the same array with
-    prepass-derived page indices. Reading one source column is a width-1
-    dynamic sublane slice (the only dynamic addressing mode that compiles
-    on this toolchain) from the predicate-selected page pair.
+  * The output is tiled (tile_rows x 128). An XLA prepass computes every
+    tile's source-texel window (exact tap extremes, per 8-row SUB-TILE).
+    In-kernel double-buffered DMA fetches each scan step's (2*rb, SU*C)
+    window straight from the HBM-resident interleaved (H, W*C) padded
+    source at dynamic offsets (row base 8-quantized, lane base rounded
+    down to 128 and re-aligned by a dynamic lane roll). DMAs are issued
+    one step ahead and across tile boundaries, hiding the ~us fetch
+    latency behind compute.
   * Per tile the kernel scans the window's source columns in
     SCAN_UNROLL-column steps (sized ~= the p99 tile window so most tiles
-    scan once). Per step: the step's columns are fetched (width-1 dynamic
-    sublane reads), transposed as one batch to put rows on sublanes, and
-    rolled once PER 8-ROW SUB-TILE so each sub-tile's window start lands
-    on sublane 0 — bounding the gather count by the *sub-tile* row span
-    (n_groups, usually 1) instead of the whole tile's. One sublane gather
-    per (row-tap, group, sub-tile) picks each output pixel's row; masked
-    FMAs apply the exact interpolation weights (truncation/wrap/clamp
-    semantics shared with ops/sampling.py via ops/pallas/taps.py).
-  * Per-tile windows can overflow their quantized blocks (degenerate
-    mappings: rectilinear-input horizons, poles). The prepass reduces an
-    ``ok`` flag and a lax.cond falls back to the pure-XLA path for the
-    whole frame — outputs are always exact w.r.t. the reference formulas.
+    scan once). Per step: the step's columns are transposed as one batch
+    to put rows on sublanes and rolled once PER 8-ROW SUB-TILE so each
+    sub-tile's window start lands on sublane 0 — bounding the gather
+    count by the *sub-tile* row span (n_groups, usually 1) instead of
+    the whole tile's. One sublane gather per (row-tap, group, sub-tile)
+    picks each output pixel's row; masked FMAs apply the exact
+    interpolation weights (truncation/wrap/clamp semantics shared with
+    ops/sampling.py via ops/pallas/taps.py). ``scan_unroll < 0`` selects
+    the whole-window mode instead (see below).
+  * Sub-tiles whose windows overflow the shared budgets are handled by a
+    cascade: a compact pass-2 "rescue" launch recomputes sub-tiles whose
+    OWN window fits fixed budgets (one grid slot per bad sub-tile), the
+    rest are patched by chunked vectorized XLA sampling, and a frame
+    whose bad fraction exceeds 60% flips wholesale to the pure-XLA path
+    via lax.cond — outputs are always exact w.r.t. the reference
+    formulas.
 
 Supersampling runs one kernel launch per stratified offset and averages
 outside, matching the reference's accumulation (src/reproject.cpp:294-341).
