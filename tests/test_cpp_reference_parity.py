@@ -79,6 +79,14 @@ CASES = [
     ("rect->equirect bl ss2",
      "rect:50,36,36", "rect50", f"equirect:{-1.2},{0.8},{-0.6},{0.9},36,36",
      "equirect_part", "bl", 2, (0, 0, 0), 1.0, 1.0),
+    ("equidist->equirect bc 4ch",
+     "equidist:{pi},36,36".format(pi=math.pi), "equidist",
+     f"equirect:{-math.pi},{math.pi},{-math.pi/2},{math.pi/2},36,18",
+     "equirect", "bc", 1, (10.0, -5.0, 3.0), 1.0, 1.0),
+    ("equirect_part->equidist bl (clamp input)",
+     f"equirect:{-1.2},{0.8},{-0.6},{0.9},36,36", "equirect_part",
+     "equidist:{pi},36,36".format(pi=math.pi), "equidist", "bl", 1,
+     (0, 0, 0), 1.0, 1.0),
 ]
 
 
@@ -112,7 +120,8 @@ def test_matches_compiled_reference(case, ref_dump, tmp_path):
 
     (name, in_s, in_tag, out_s, out_tag, interp, ns, rot_deg,
      exposure, reinhard) = case
-    src = smooth(96, 192, 3, seed=hash(name) % 1000)
+    n_ch = 4 if "4ch" in name else 3
+    src = smooth(96, 192, n_ch, seed=hash(name) % 1000)
     out_h, out_w = 64, 128
     want = run_ref(ref_dump, tmp_path, src, in_s, out_s, out_h, out_w,
                    interp, ns, rot_deg, exposure, reinhard)
