@@ -271,7 +271,7 @@ class TestKernelGolden:
         # multi-tile coverage while staying fast in interpret mode.
         src = jnp.asarray(smooth(96, 192, 3, seed=11))
         rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, -3.0))
-        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=16, out_w=160,
+        kw = dict(in_lens=EQUIRECT, out_lens=RECT, out_h=16, out_w=128,
                   interp="bicubic", n_samples=2, tile_rows=8, n_groups=3, rb=40,
                   scan_unroll=8)
         scalars, bad = remap_fused.make_plan(rot, in_h=96, in_w=192, **kw)
