@@ -75,10 +75,12 @@ def main() -> int:
         ("rect->equisolid RESCUE", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
         ("equisolid->equirect rot RESCUE", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
         ("equirect->rect seam RESCUE bc", EQUIRECT, RECT, "bicubic", rot180, (256, 512), (256, 256), 16, 1, 16),
+        ("rect->equisolid RESCUE ss2", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
-    ns_for = {"equirect->rect bicubic rot 512 T16": 3}
+    ns_for = {"equirect->rect bicubic rot 512 T16": 3,
+              "rect->equisolid RESCUE ss2": 2}
     # scan_unroll override: negative = whole-window gather chunks.
     su_for = {
         "equirect->rect bicubic WW T32 ng1": -1,
@@ -91,6 +93,7 @@ def main() -> int:
         "rect->equisolid RESCUE": 512,
         "equisolid->equirect rot RESCUE": 512,
         "equirect->rect seam RESCUE bc": 128,
+        "rect->equisolid RESCUE ss2": 512,
     }
 
     failures = 0

@@ -220,6 +220,9 @@ _TILING_CANDIDATES = tuple(
 # scales with the channel count; taps and rolls are comparatively cheap.
 # Ranking-only; the runtime prepass guards exactness.
 _PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
+_RESCUE_NS_PER_PX = 6.0   # pass-2 compact-launch recompute of rescuable
+                          # sub-tiles (provisional ~5x-cheaper estimate;
+                          # re-fit from cfg_probe rescue runs)
 _KERNEL_BASE_NS = 14.0    # per-column loop/fetch share
 _KERNEL_ROLL_NS = 1.8     # per-sub-tile roll per column (x rb/40)
 _KERNEL_COLW_NS = 5.77    # per-sub-tile per-CHANNEL distribution chain
@@ -238,6 +241,7 @@ def suggest_tiling(
     rotation_np,
     interp: str,
     channels: int = 3,
+    with_rescue: bool = True,
 ) -> Tuple[int, int, int, int, int]:
     """Host-side heuristic -> (tile_rows, n_groups, rb, scan_unroll, cb).
 
@@ -354,7 +358,7 @@ def suggest_tiling(
             col_over = c_span + slack > 2 * cbb
             window = c_span + slack  # scanned-column count per good tile
             if float((blk_over | col_over).mean()) > 0.55:
-                return [(1.0, SCAN_UNROLL, float(cbb))]  # candidate dead
+                return [(1.0, SCAN_UNROLL, float(cbb), 1.0, 0.0)]  # dead
             # The unrolled scan step's live values scale with
             # ng*taps*su*n_sub; past ~10k the Mosaic stack allocator blows
             # the 16MB scoped-VMEM limit at COMPILE time (no runtime
@@ -382,6 +386,19 @@ def suggest_tiling(
             sxg = sgroup(sxx)
             sylo_g = sgroup(tylo_s)
             syhi_g = sgroup(tyhi_s)
+
+            # Pass-2 rescue admission, simulated per sub-tile: a bad
+            # sub-tile whose OWN window fits the rescue budgets is priced
+            # at _RESCUE_NS_PER_PX instead of the XLA patch.
+            if with_rescue:
+                rspan = syhi_g.max(axis=(3, 4)) - sylo_g.min(axis=(3, 4))
+                cext = sxg.max(axis=(3, 4)) - sxg.min(axis=(3, 4))
+                resc_fit = (
+                    (rspan + 2 * margin + 1 <= RESCUE_NG * 8)
+                    & ((cext + slack) * channels <= RESCUE_G * 128)
+                )  # (nt, q, nc)
+            else:
+                resc_fit = None
 
             def sim(su):
                 # Simulate the device prepass's sheared per-chunk
@@ -421,16 +438,25 @@ def suggest_tiling(
                 # unsampled rows, then apply the device's 2*margin + 1
                 # (see _prepass ok_span).
                 deriv = np.maximum(resid - (taps - 1), 0.0) / 3.0
-                sub_over = (
-                    resid + deriv + 2 * margin + 1 > ng * 8
-                ).max(axis=1) > 0
+                sub_bad = resid + deriv + 2 * margin + 1 > ng * 8
+                sub_over = sub_bad.max(axis=1) > 0
                 over = sub_over | blk_over | col_over | (window > nch * su)
                 good = ~over
                 scanned = (
                     float((np.ceil(window[good] / su) * su).mean())
                     if good.any() else float(cbb)
                 )
-                return float(over.mean()), su, scanned
+                # Per-sub-tile accounting (the kernel patches 8-row
+                # units): a sub-tile is bad when its span overflows OR
+                # its tile's shared window fails entirely.
+                tile_bad = (blk_over | col_over | (window > nch * su))
+                sub_bad_full = sub_bad | tile_bad[:, None, :]
+                if resc_fit is not None:
+                    f_resc = float((sub_bad_full & resc_fit).mean())
+                else:
+                    f_resc = 0.0
+                f_patch = float(sub_bad_full.mean()) - f_resc
+                return float(over.mean()), su, scanned, f_patch, f_resc
 
             # Smaller chunks shear finer (fewer bad tiles) at more loop
             # steps; evaluate both the p95 window and a 32-column step.
@@ -456,8 +482,11 @@ def suggest_tiling(
             if 4 * 2 * channels * 2 * CB * rb * 4 <= 8 * 2 ** 20:
                 cb_opts.append(2 * CB)
             for cbb in cb_opts:
-                for f, su, scanned in candidate_stats(tr, ng, rb, cbb):
-                    if f > 0.55:  # sampled estimate; runtime cap is 60%
+                for f, su, scanned, f_patch, f_resc in candidate_stats(
+                        tr, ng, rb, cbb):
+                    # The runtime 60% patch cap applies AFTER the rescue
+                    # pass takes its share.
+                    if f_patch > 0.55:
                         continue
                     n_sub = max(1, tr // 8)
                     grp_ns = (_KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng) * channels
@@ -479,8 +508,12 @@ def suggest_tiling(
                     # sampling noise cannot veto a faster tiling
                     # (measured: the sim read 1.2% on a config whose real
                     # prepass marks zero tiles).
-                    f_eff = max(0.0, f - 0.01)
-                    cost = f_eff * _PATCH_NS_PER_PX + (1.0 - f_eff) * kern
+                    f_patch_eff = max(0.0, f_patch - 0.01)
+                    cost = (
+                        f_patch_eff * _PATCH_NS_PER_PX
+                        + f_resc * _RESCUE_NS_PER_PX
+                        + max(0.0, 1.0 - f_patch_eff - f_resc) * kern
+                    )
                     if best is None or cost < best[0]:
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:

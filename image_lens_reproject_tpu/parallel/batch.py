@@ -48,6 +48,7 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "scan_unroll",
         "cb",
         "in_h",
+        "rescue_cap",
     ),
 )
 def sharded_remap_step(
@@ -69,6 +70,7 @@ def sharded_remap_step(
     scan_unroll: int = 0,
     cb: int = 0,
     in_h: Optional[int] = None,
+    rescue_cap: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
@@ -78,6 +80,10 @@ def sharded_remap_step(
     pads with edge-replicated rows purely for even sharding transport)
     is sliced back to ``in_h`` after the all_gather, so the lens
     geometry always sees the true source height.
+
+    ``rescue_cap`` > 0 (static, identical on every device — SPMD) enables
+    the pass-2 rescue inside each device's band; size it with
+    ``size_rescue_cap`` (the max rescuable count over all bands).
     """
     n_rows = mesh.shape[ROWS_AXIS]
     band = -(-out_h // n_rows)
@@ -125,6 +131,7 @@ def sharded_remap_step(
                     cb=cb,
                     row0=row0,
                     band_rows=band,
+                    rescue_cap=rescue_cap,
                 )
             out = remap_ops.remap_image(
                 img,
@@ -165,6 +172,46 @@ def sharded_remap_step(
         )
         result = fn(batch, rotation)
     return result[:, :out_h] if out_h_pad != out_h else result
+
+
+def size_rescue_cap(
+    mesh: Mesh,
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    in_h: int,
+    in_w: int,
+    out_h: int,
+    out_w: int,
+    interp: str,
+    rotation=None,
+    n_samples: int = 1,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
+    scan_unroll: int = 0,
+    cb: int = 0,
+    channels: int = 3,
+) -> int:
+    """Static pass-2 rescue cap for sharded_remap_step: the max rescuable
+    sub-tile count over every device's row band (config-only; one host
+    pass per band at plan time), rounded up to 128. 0 disables rescue."""
+    from ..ops.pallas import remap_kernel
+
+    n_rows = mesh.shape[ROWS_AXIS]
+    band = -(-out_h // n_rows)
+    worst = 0
+    for r in range(n_rows):
+        scalars, bad, rescue = remap_kernel.make_prepass(
+            rotation, in_lens=in_lens, out_lens=out_lens, in_h=in_h,
+            in_w=in_w, out_h=out_h, out_w=out_w, interp=interp,
+            n_samples=n_samples, tile_rows=tile_rows, n_groups=n_groups,
+            rb=rb, scan_unroll=scan_unroll, cb=cb, row0=r * band,
+            band_rows=band, channels=channels, with_rescue=True,
+        )
+        n = int(jnp.sum(jnp.logical_and(bad, rescue[3] > 0)))
+        worst = max(worst, n)
+    return -(-worst // 128) * 128 if worst else 0
 
 
 def shard_batch(batch, mesh: Mesh):

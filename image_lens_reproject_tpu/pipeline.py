@@ -291,10 +291,26 @@ def process_batch(
                     [batch, jnp.repeat(batch[:, -1:], pad_h, axis=1)], axis=1
                 )
             sharded = pbatch.shard_batch(batch, dmesh)
+            # Pass-2 rescue inside each device's band: static cap = the
+            # max rescuable count over all bands (config-only, host-sized
+            # once per plan; 0 on the virtual CPU mesh or clean configs).
+            mesh_rescue_cap = 0
+            if jax.default_backend() == "tpu":
+                mesh_rescue_cap = pbatch.size_rescue_cap(
+                    dmesh, in_lens=opts.input_lens,
+                    out_lens=opts.output_lens, in_h=in_h,
+                    in_w=int(batch.shape[2]), out_h=opts.out_height,
+                    out_w=opts.out_width, interp=opts.interp,
+                    rotation=rot, n_samples=opts.n_samples,
+                    tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                    scan_unroll=scan_unroll, cb=cb,
+                    channels=int(batch.shape[3]),
+                )
             out = pbatch.sharded_remap_step(
                 sharded,
                 rot,
                 mesh=dmesh,
+                rescue_cap=mesh_rescue_cap,
                 in_lens=opts.input_lens,
                 out_lens=opts.output_lens,
                 out_h=opts.out_height,

@@ -245,16 +245,24 @@ class TestKernelGolden:
 
     def test_suggest_tiling_tall_pick(self):
         # The cost model must choose a tall window (rb > 40) for the
-        # equisolid -> equirect polar-arc config and the default block for
-        # the headline equirect -> rect config.
+        # equisolid -> equirect polar-arc config when no pass-2 rescue is
+        # available (sharded path), and the default block for the
+        # headline equirect -> rect config.
         rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
         tr, ng, rb, su, cb = RK.suggest_tiling(
-            EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear"
+            EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear",
+            with_rescue=False,
         )
         # Polar arcs need a tall row block; per-sub-tile shifts keep the
         # group count at the per-8-row slope, far below the old whole-tile
         # requirement (>= 10 groups).
         assert rb > 40 and ng >= 2
+        # With the rescue pass priced in, tighter windows may win — but
+        # the pick must still admit the arc slope (groups or height).
+        tr, ng, rb, su, cb = RK.suggest_tiling(
+            EQUISOLID, EQUIRECT, 2048, 2048, 2048, 4096, rot, "bilinear"
+        )
+        assert ng >= 2 or rb > 40
         tr, ng, rb, su, cb = RK.suggest_tiling(
             EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
         )

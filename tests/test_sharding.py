@@ -196,3 +196,41 @@ def test_sharded_tall_window_equisolid():
     )
     err = np.abs(got - want)
     assert np.quantile(err, 0.999) < 1e-4
+
+
+def test_sharded_banded_kernel_with_rescue():
+    # The Pallas kernel path under shard_map (use_kernel via interpret
+    # mode), with the pass-2 rescue active inside each device's row band:
+    # rect -> equisolid's overflow annulus must match the single-device
+    # XLA path exactly. Covers row0-as-axis_index + banded rescue windows.
+    from image_lens_reproject_tpu.models.lens import FisheyeEquisolid
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel as RK
+
+    es = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    inl = Rectilinear(50.0, 36.0, 36.0)
+    mesh = pmesh.make_mesh(devices=jax.devices()[:2], batch=1, rows=2)
+    src = smooth_batch(1, 64, 64, 3, seed=7)
+    kw = dict(in_lens=inl, out_lens=es, out_h=32, out_w=128,
+              interp="bilinear", n_samples=1, tile_rows=8, n_groups=2,
+              rb=40, scan_unroll=8)
+    cap = pbatch.size_rescue_cap(
+        mesh, in_h=64, in_w=64, rotation=None, channels=3, **kw)
+    RK.set_interpret(True)
+    try:
+        got = np.asarray(
+            pbatch.sharded_remap_step(
+                pbatch.shard_batch(jnp.asarray(src), mesh), None,
+                mesh=mesh, rescue_cap=cap, **kw,
+            )
+        )
+    finally:
+        RK.set_interpret(False)
+    want = np.asarray(
+        remap.remap_batch_jit(
+            jnp.asarray(src), None,
+            in_lens=inl, out_lens=es, out_h=32, out_w=128,
+            interp="bilinear", n_samples=1,
+        )
+    )
+    err = np.abs(got - want)
+    assert np.quantile(err, 0.999) < 1e-4
