@@ -182,10 +182,11 @@ def _resolve_mesh(opts: PipelineOptions, in_h: int):
     return b_ax, r_ax
 
 
-# (input shape, config) -> (tile_rows, n_groups, rb, scan_unroll, scalars,
-# bad): the Pallas prepass reused across every frame of a directory run
-# (see process_batch). LRU-bounded: plans hold device arrays, so a
-# long-lived process hitting many (shape, config) keys must evict.
+# (input shape, config) -> (tile_rows, n_groups, rb, scan_unroll, cb,
+# scalars, bad, rescue, rescue_cap): the Pallas prepass + pass-2 rescue
+# fields reused across every frame of a directory run (see
+# process_batch). LRU-bounded: plans hold device arrays, so a long-lived
+# process hitting many (shape, config) keys must evict.
 _PLAN_CACHE_MAX = 16
 _PLAN_CACHE: "OrderedDict" = None  # initialized below
 
