@@ -79,10 +79,10 @@ CASES = [
     ("rect->equirect bl ss2",
      "rect:50,36,36", "rect50", f"equirect:{-1.2},{0.8},{-0.6},{0.9},36,36",
      "equirect_part", "bl", 2, (0, 0, 0), 1.0, 1.0),
-    ("equidist->equirect bc 4ch",
+    ("equidist->equirect bc 4ch tonemap",
      "equidist:{pi},36,36".format(pi=math.pi), "equidist",
      f"equirect:{-math.pi},{math.pi},{-math.pi/2},{math.pi/2},36,18",
-     "equirect", "bc", 1, (10.0, -5.0, 3.0), 1.0, 1.0),
+     "equirect", "bc", 1, (10.0, -5.0, 3.0), 2.0, 4.0),
     ("equirect_part->equidist bl (clamp input)",
      f"equirect:{-1.2},{0.8},{-0.6},{0.9},36,36", "equirect_part",
      "equidist:{pi},36,36".format(pi=math.pi), "equidist", "bl", 1,
