@@ -234,3 +234,22 @@ def test_sharded_banded_kernel_with_rescue():
     )
     err = np.abs(got - want)
     assert np.quantile(err, 0.999) < 1e-4
+
+
+def test_size_rescue_cap_properties():
+    # Clean smooth config -> 0 (rescue disabled); the rect->equisolid
+    # annulus -> a positive multiple of 128, stable across mesh widths.
+    from image_lens_reproject_tpu.models.lens import FisheyeEquisolid
+
+    es = FisheyeEquisolid(15.0, math.pi, 36.0, 36.0)
+    inl = Rectilinear(50.0, 36.0, 36.0)
+    kw = dict(out_h=32, out_w=128, interp="bilinear", n_samples=1,
+              tile_rows=8, n_groups=2, rb=40, scan_unroll=8, channels=3)
+    mesh2 = pmesh.make_mesh(devices=jax.devices()[:2], batch=1, rows=2)
+    cap = pbatch.size_rescue_cap(
+        mesh2, in_lens=inl, out_lens=es, in_h=64, in_w=64, rotation=None, **kw)
+    assert cap > 0 and cap % 128 == 0
+    cap_clean = pbatch.size_rescue_cap(
+        mesh2, in_lens=EQUIRECT, out_lens=RECT, in_h=64, in_w=128,
+        rotation=None, **kw)
+    assert cap_clean == 0
