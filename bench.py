@@ -71,7 +71,32 @@ def main() -> int:
     from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
     from image_lens_reproject_tpu.ops import remap_fused
 
-    dev = jax.devices()[0]
+    # The axon relay can be down (CLAUDE.md hazards), in which case
+    # backend init either raises or HANGS for ~20 min in a retry loop:
+    # watchdog it and emit a diagnostic JSON line instead of a crash.
+    init = {}
+
+    def _init():
+        try:
+            init["dev"] = jax.devices()[0]
+        except Exception as e:
+            init["error"] = repr(e)
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(600.0)
+    if "dev" not in init:
+        print(json.dumps({
+            "metric": "4K equirect->rectilinear bicubic+tonemap remap throughput",
+            "value": 0.0,
+            "unit": "Mpix/s",
+            "vs_baseline": 0.0,
+            "error": init.get(
+                "error", "device backend init timed out (relay down?)"
+            ),
+        }))
+        return 0
+    dev = init["dev"]
     platform = dev.platform
 
     in_lens = full_equirectangular()
