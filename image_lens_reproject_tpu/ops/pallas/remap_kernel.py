@@ -476,11 +476,11 @@ def suggest_tiling(
         for tr, ng, rb in _TILING_CANDIDATES:
             if ng > _max_groups(rb):
                 continue
-            cb_opts = [CB]
-            # Wide (radial-stretch) windows: a 512-column page admits them
-            # if the four double-buffered pages still fit VMEM comfortably.
-            if 4 * 2 * channels * 2 * CB * rb * 4 <= 8 * 2 ** 20:
-                cb_opts.append(2 * CB)
+            # cb only bounds column-window ADMISSION under the DMA fetch
+            # (the scratch is sized by scan_unroll, not cb): a 512-column
+            # budget admits wide radial-stretch windows at a mild prepass
+            # tax (the 0.15 nudge below).
+            cb_opts = [CB, 2 * CB]
             for cbb in cb_opts:
                 for f, su, scanned, f_patch, f_resc in candidate_stats(
                         tr, ng, rb, cbb):
