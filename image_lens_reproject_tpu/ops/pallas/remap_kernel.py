@@ -229,6 +229,9 @@ _KERNEL_COLW_NS = 5.77    # per-sub-tile per-CHANNEL distribution chain
 _KERNEL_GROUP_NS = 0.15   # per (group x tap x channel) gather work
 _KERNEL_GROUP_NS2 = 0.13  # superlinear group penalty (register pressure)
 _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
+_DEBUG_COSTS = None       # set to a list to record every candidate's
+                          # (cost, tr, ng, rb, su, cb, f_patch, f_resc)
+                          # from the next suggest_tiling call (fit aid)
 
 
 def suggest_tiling(
@@ -514,7 +517,16 @@ def suggest_tiling(
                         + f_resc * _RESCUE_NS_PER_PX
                         + max(0.0, 1.0 - f_patch_eff - f_resc) * kern
                     )
-                    if best is None or cost < best[0]:
+                    if _DEBUG_COSTS is not None:
+                        _DEBUG_COSTS.append(
+                            (cost, tr, ng, rb, su, cbb, f_patch, f_resc)
+                        )
+                    # Candidates iterate tr-ascending; a taller tile must
+                    # beat the incumbent by >3% to displace it — modeled
+                    # margins inside that band are noise, and the shorter
+                    # tile is the measured-region choice (the 1474 Mpix/s
+                    # headline ran tr=48 with (64,1,16) modeled 2% ahead).
+                    if best is None or cost < best[0] * 0.97:
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
             return best[1], best[2], best[3], best[4], best[5]
