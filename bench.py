@@ -86,16 +86,19 @@ def main() -> int:
     t.start()
     t.join(600.0)
     if "dev" not in init:
+        # Nonzero rc + explicit status: downstream tooling must not
+        # ingest this diagnostic line as a real zero-throughput sample.
         print(json.dumps({
             "metric": "4K equirect->rectilinear bicubic+tonemap remap throughput",
             "value": 0.0,
             "unit": "Mpix/s",
             "vs_baseline": 0.0,
+            "status": "skipped_no_device",
             "error": init.get(
                 "error", "device backend init timed out (relay down?)"
             ),
         }))
-        return 0
+        return 3
     dev = init["dev"]
     platform = dev.platform
 
@@ -113,15 +116,23 @@ def main() -> int:
     )
     # The prepass depends only on the config; a frame stream computes it
     # once (pipeline directory mode does the same via its plan cache).
-    scalars, bad, rescue = remap_fused.make_plan(
+    # Rescue only with on-chip verification evidence for the current
+    # kernel sources (dispatch.rescue_enabled; the headline usually has
+    # 0 rescuable sub-tiles either way).
+    from image_lens_reproject_tpu.ops import dispatch
+
+    use_rescue = dispatch.rescue_enabled()
+    plan = remap_fused.make_plan(
         rot, in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
-        cb=cb, with_rescue=True,
+        cb=cb, with_rescue=use_rescue,
     )
-    # Pass-2 rescue cap, sized once from the config-only plan (mirrors
-    # pipeline.py:process_batch; the headline config usually has 0).
-    n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+    scalars, bad = plan[0], plan[1]
+    rescue = plan[2] if use_rescue else None
+    n_resc = 0
+    if rescue is not None:
+        n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
     rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
     if rescue_cap == 0:
         rescue = None
@@ -213,6 +224,7 @@ def main() -> int:
         "scan_unroll": scan_unroll,
         "cb": cb,
         "rescued_subtiles": n_resc,
+        "rescue_enabled": use_rescue,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),

@@ -59,15 +59,24 @@ def main() -> int:
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
         )
         # Planned prepass + pass-2 rescue cap, as the pipeline does for a
-        # frame stream (pipeline.py:process_batch).
-        scalars, bad, rescue = remap_fused.make_plan(
+        # frame stream (pipeline.py:process_batch). Rescue is gated on
+        # on-chip verification evidence (dispatch.rescue_enabled), like
+        # the pipeline.
+        from image_lens_reproject_tpu.ops import dispatch
+
+        use_rescue = dispatch.rescue_enabled()
+        plan = remap_fused.make_plan(
             rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
-            with_rescue=True,
+            with_rescue=use_rescue,
         )
-        n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+        scalars, bad = plan[0], plan[1]
+        rescue = plan[2] if use_rescue else None
+        n_resc = 0
+        if rescue is not None:
+            n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
         rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
         if rescue_cap == 0:
             rescue = None
@@ -88,7 +97,7 @@ def main() -> int:
             "config": name, "mpix_per_s": round(mpixps, 1),
             "tile_rows": tile_rows, "groups": n_groups, "rb": rb,
             "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
-            "rescued_subtiles": n_resc,
+            "rescued_subtiles": n_resc, "rescue_enabled": use_rescue,
         }), flush=True)
 
     RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)
@@ -139,14 +148,53 @@ def main() -> int:
         stats = run_pipeline(paths, str(Path(td) / "out"), opts)
         dt = time.perf_counter() - t0
         mpixps = stats.pixels / dt / 1e6
+
+        # Overlap evidence (SURVEY §2.3 host-prefetch design claim):
+        # re-run the same frames fully SERIALIZED — each frame decodes,
+        # dispatches, fetches, and encodes on one thread before the next
+        # starts — and report pipelined speedup over it. Also time one
+        # frame's device->host fetch alone so the tunnel-limited claim
+        # is a measured fraction, not an assumption.
+        from image_lens_reproject_tpu.pipeline import (
+            process_batch, read_image, write_outputs, _output_paths,
+        )
+
+        ser_dir = Path(td) / "serial"
+        ser_dir.mkdir()
+        t0 = time.perf_counter()
+        for p in paths:
+            buf = read_image(p)
+            img = process_batch([buf.data], opts)[0]
+            out_png, out_exr = _output_paths(ser_dir, p)
+            write_outputs(img, buf.layout, opts, out_png, out_exr)
+        ser_dt = time.perf_counter() - t0
+
+        # One frame's decode / remap-dispatch / fetch / encode split.
+        buf = read_image(paths[0])
+        t0 = time.perf_counter()
+        dev_out = jnp.asarray(buf.data)  # H2D
+        np.asarray(dev_out[:1, :1, 0])  # tiny fetch: the only real sync
+        h2d_s = time.perf_counter() - t0
+        img = process_batch([buf.data], opts)[0]  # includes the fetch
+        t0 = time.perf_counter()
+        img = process_batch([buf.data], opts)[0]
+        frame_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(dev_out)  # D2H of a same-size array
+        d2h_s = time.perf_counter() - t0
+
         print(json.dumps({
             "config": "5: 4K EXR directory end-to-end",
             "mpix_per_s": round(mpixps, 1), "frames": n_frames,
             "seconds": round(dt, 2),
-            # On the axon tunnel, device->host runs at ~40 MB/s (vs GB/s
-            # PCIe on real hosts): this config measures the relay, not
-            # the pipeline, in this environment.
-            "d2h_tunnel_limited": True,
+            "overlap_speedup": round(ser_dt / dt, 3),
+            "serialized_seconds": round(ser_dt, 2),
+            "h2d_seconds_per_frame": round(h2d_s, 3),
+            "d2h_seconds_per_frame": round(d2h_s, 3),
+            "decode_to_host_seconds_per_frame": round(frame_s, 3),
+            # Device->host transfers dominating the per-frame budget
+            # means this config measures the transport, not the pipeline.
+            "d2h_tunnel_limited": bool(d2h_s > 0.5 * frame_s),
         }), flush=True)
     return 0
 

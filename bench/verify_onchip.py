@@ -120,6 +120,17 @@ def main() -> int:
               f"max={err.max():.2e} {'OK' if ok else 'FAIL'}", flush=True)
         failures += 0 if ok else 1
     print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
+    # Record the hardware-exactness evidence: a zero-failure run on a
+    # real TPU writes .onchip_verified.json (keyed by a digest of the
+    # kernel sources), which is what lets the pipeline/bench enable the
+    # pass-2 rescue (ops/dispatch.rescue_enabled).
+    platform = jax.devices()[0].platform
+    if platform == "tpu":  # CPU runs are not hardware evidence
+        from image_lens_reproject_tpu.ops import dispatch
+
+        dispatch.write_onchip_marker(platform, f"{len(cases)} configs", failures)
+        if failures == 0:
+            print("onchip marker written: rescue enabled for current kernel sources")
     return 0 if failures == 0 else 1
 
 

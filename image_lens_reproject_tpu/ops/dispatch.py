@@ -11,11 +11,38 @@ The framework has two device implementations of the remap:
 Selection: Pallas is used automatically on TPU backends when the
 (lens, interp) combination is supported by the kernel; force the pure-XLA
 path with ``set_pure_xla(True)`` or the CLI ``--pure-xla`` flag.
+
+Rescue gating: the pass-2 rescue launch exercises Mosaic primitives
+(dynamic lane rolls, lane-dim gathers) that interpret mode cannot
+validate — a hardware miscompile there would produce silently wrong
+pixels. The pipeline/bench therefore enable rescue only when
+``bench/verify_onchip.py`` has PASSED on a real TPU against the CURRENT
+kernel sources (recorded in ``.onchip_verified.json`` at the repo root,
+keyed by a digest of the kernel source files so any kernel edit
+invalidates it), or when explicitly forced with ``ILR_RESCUE=1``.
+Rescue off is a performance fallback (bad sub-tiles take the XLA patch
+path), never a correctness change.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+from pathlib import Path
+
 _pure_xla = False
+
+# Sources whose behavior the on-chip verification battery attests; any
+# edit to these invalidates the marker (CLAUDE.md: on-chip verification
+# is REQUIRED after ANY kernel change).
+_KERNEL_SOURCES = (
+    "pallas/remap_kernel.py",
+    "pallas/taps.py",
+    "pallas/kernel_math.py",
+    "remap_fused.py",
+)
+_MARKER_PATH = Path(__file__).resolve().parents[2] / ".onchip_verified.json"
 
 
 def set_pure_xla(value: bool) -> None:
@@ -25,3 +52,55 @@ def set_pure_xla(value: bool) -> None:
 
 def pure_xla_forced() -> bool:
     return _pure_xla
+
+
+def kernel_source_digest() -> str:
+    """sha256 over the kernel sources the on-chip battery attests."""
+    h = hashlib.sha256()
+    base = Path(__file__).resolve().parent
+    for rel in _KERNEL_SOURCES:
+        h.update((base / rel).read_bytes())
+    return h.hexdigest()
+
+
+def write_onchip_marker(platform: str, battery: str, failures: int) -> None:
+    """Record an on-chip verification result (bench/verify_onchip.py).
+
+    Only a zero-failure run on a real TPU produces a marker that
+    ``rescue_verified`` accepts.
+    """
+    import time
+
+    _MARKER_PATH.write_text(json.dumps({
+        "digest": kernel_source_digest(),
+        "platform": platform,
+        "battery": battery,
+        "failures": failures,
+        "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, indent=1) + "\n")
+
+
+def rescue_verified() -> bool:
+    """True iff the current kernel sources passed verify_onchip on a TPU."""
+    try:
+        rec = json.loads(_MARKER_PATH.read_text())
+    except (OSError, ValueError):
+        return False
+    return (
+        rec.get("failures") == 0
+        and rec.get("platform") == "tpu"
+        and rec.get("digest") == kernel_source_digest()
+    )
+
+
+def rescue_enabled() -> bool:
+    """Should the pipeline/bench enable the pass-2 rescue launch?
+
+    ``ILR_RESCUE=1`` forces on (e.g. the verification battery itself),
+    ``ILR_RESCUE=0`` forces off; otherwise on only with hardware
+    verification evidence for the current kernel sources.
+    """
+    env = os.environ.get("ILR_RESCUE")
+    if env in ("0", "1"):
+        return env == "1"
+    return rescue_verified()

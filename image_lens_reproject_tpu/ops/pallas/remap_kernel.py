@@ -521,12 +521,15 @@ def suggest_tiling(
                         _DEBUG_COSTS.append(
                             (cost, tr, ng, rb, su, cbb, f_patch, f_resc)
                         )
-                    # Candidates iterate tr-ascending; a taller tile must
+                    # Candidates iterate tr-ascending; a TALLER tile must
                     # beat the incumbent by >3% to displace it — modeled
                     # margins inside that band are noise, and the shorter
                     # tile is the measured-region choice (the 1474 Mpix/s
                     # headline ran tr=48 with (64,1,16) modeled 2% ahead).
-                    if best is None or cost < best[0] * 0.97:
+                    # Same-or-shorter tile_rows compare unmargined so the
+                    # pick stays the modeled argmin within a height.
+                    disp = 0.97 if best is not None and tr > best[1] else 1.0
+                    if best is None or cost < best[0] * disp:
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
             return best[1], best[2], best[3], best[4], best[5]

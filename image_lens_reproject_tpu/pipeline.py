@@ -153,7 +153,7 @@ def _outputs_exist(opts: PipelineOptions, out_png: Path, out_exr: Path) -> bool:
     return exists
 
 
-def _resolve_mesh(opts: PipelineOptions, in_h: int):
+def _resolve_mesh(opts: PipelineOptions):
     """Parse opts.mesh -> (batch_axis, rows_axis) or None.
 
     "auto" uses every visible device on the batch axis when >1 is present.
@@ -256,7 +256,7 @@ def process_batch(
                 out = color.post_process_jit(
                     out, exposure=opts.exposure, reinhard=opts.reinhard
                 )
-        elif (mesh_shape := _resolve_mesh(opts, int(batch.shape[1]))) is not None:
+        elif (mesh_shape := _resolve_mesh(opts)) is not None:
             # Multi-chip: shard the batch (and optionally output row bands)
             # over the device mesh; sharded_remap_step all-gathers source
             # bands over ICI and runs the banded kernel per device.
@@ -268,17 +268,48 @@ def process_batch(
             dmesh = pmesh.make_mesh(
                 devices=jax.devices()[: b_ax * r_ax], batch=b_ax, rows=r_ax
             )
-            tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
-                opts.input_lens, opts.output_lens,
-                int(batch.shape[1]), int(batch.shape[2]),
-                opts.out_height, opts.out_width,
-                opts.rotation, opts.interp,
-                channels=int(batch.shape[3]),
-            )
-            _log_plan(opts, (tile_rows, n_groups, rb, scan_unroll, cb),
-                      batch.shape[1:])
-            n_real = batch.shape[0]
             in_h = int(batch.shape[1])
+            # Plan cache, mesh flavor: suggest_tiling plus the sharded
+            # rescue cap (n_rows eager make_prepass device passes + a
+            # blocking fetch) are config-only — a directory frame stream
+            # must pay them once, not per batch (tunnel dispatch is ~ms
+            # and D2H is slow; see CLAUDE.md hazards).
+            key = ("mesh", mesh_shape, batch.shape[1:], opts.input_lens,
+                   opts.output_lens, opts.out_height, opts.out_width,
+                   opts.interp, opts.n_samples,
+                   None if opts.rotation is None else opts.rotation.tobytes())
+            cached = _plan_cache_get(key)
+            if cached is None:
+                tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
+                    opts.input_lens, opts.output_lens,
+                    in_h, int(batch.shape[2]),
+                    opts.out_height, opts.out_width,
+                    opts.rotation, opts.interp,
+                    channels=int(batch.shape[3]),
+                )
+                # Pass-2 rescue inside each device's band: static cap =
+                # the max rescuable count over all bands (config-only;
+                # 0 on the virtual CPU mesh or clean configs). Gated on
+                # on-chip verification evidence (dispatch.rescue_enabled).
+                mesh_rescue_cap = 0
+                if jax.default_backend() == "tpu" and dispatch.rescue_enabled():
+                    mesh_rescue_cap = pbatch.size_rescue_cap(
+                        dmesh, in_lens=opts.input_lens,
+                        out_lens=opts.output_lens, in_h=in_h,
+                        in_w=int(batch.shape[2]), out_h=opts.out_height,
+                        out_w=opts.out_width, interp=opts.interp,
+                        rotation=rot, n_samples=opts.n_samples,
+                        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                        scan_unroll=scan_unroll, cb=cb,
+                        channels=int(batch.shape[3]),
+                    )
+                cached = (tile_rows, n_groups, rb, scan_unroll, cb,
+                          mesh_rescue_cap)
+                _plan_cache_put(key, cached)
+                _log_plan(opts, cached[:5], batch.shape[1:])
+            (tile_rows, n_groups, rb, scan_unroll, cb,
+             mesh_rescue_cap) = cached
+            n_real = batch.shape[0]
             pad = (-n_real) % b_ax
             if pad:
                 batch = jnp.concatenate(
@@ -292,21 +323,6 @@ def process_batch(
                     [batch, jnp.repeat(batch[:, -1:], pad_h, axis=1)], axis=1
                 )
             sharded = pbatch.shard_batch(batch, dmesh)
-            # Pass-2 rescue inside each device's band: static cap = the
-            # max rescuable count over all bands (config-only, host-sized
-            # once per plan; 0 on the virtual CPU mesh or clean configs).
-            mesh_rescue_cap = 0
-            if jax.default_backend() == "tpu":
-                mesh_rescue_cap = pbatch.size_rescue_cap(
-                    dmesh, in_lens=opts.input_lens,
-                    out_lens=opts.output_lens, in_h=in_h,
-                    in_w=int(batch.shape[2]), out_h=opts.out_height,
-                    out_w=opts.out_width, interp=opts.interp,
-                    rotation=rot, n_samples=opts.n_samples,
-                    tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                    scan_unroll=scan_unroll, cb=cb,
-                    channels=int(batch.shape[3]),
-                )
             out = pbatch.sharded_remap_step(
                 sharded,
                 rot,
@@ -352,7 +368,12 @@ def process_batch(
                     opts.rotation, opts.interp,
                     channels=int(batch.shape[3]),
                 )
-                scalars, bad, rescue = remap_fused.make_plan(
+                # Pass-2 rescue only with on-chip verification evidence
+                # for the current kernel sources (or ILR_RESCUE=1):
+                # rescue-off is a perf fallback (bad sub-tiles take the
+                # XLA patch), never a correctness change.
+                use_rescue = dispatch.rescue_enabled()
+                plan = remap_fused.make_plan(
                     rot,
                     in_lens=opts.input_lens, out_lens=opts.output_lens,
                     in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
@@ -361,14 +382,18 @@ def process_batch(
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                     scan_unroll=scan_unroll, cb=cb,
                     channels=int(batch.shape[3]),
-                    with_rescue=True,
+                    with_rescue=use_rescue,
                 )
+                scalars, bad = plan[0], plan[1]
+                rescue = plan[2] if use_rescue else None
                 # Pass-2 rescue cap: the prepass is config-only, so the
                 # rescuable count is constant across the frame stream —
                 # one tiny plan-time device fetch sizes the static cap.
-                n_resc = int(np.asarray(jnp.sum(jnp.logical_and(
-                    bad, rescue[3] > 0))))
-                rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
+                rescue_cap = 0
+                if rescue is not None:
+                    n_resc = int(np.asarray(jnp.sum(jnp.logical_and(
+                        bad, rescue[3] > 0))))
+                    rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
                 if rescue_cap == 0:
                     rescue = None
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,

@@ -1,0 +1,74 @@
+"""Rescue hardware-verification gating (ops/dispatch).
+
+The pass-2 rescue launch exercises Mosaic primitives interpret mode
+cannot validate, so the pipeline/bench only enable it with on-chip
+evidence for the CURRENT kernel sources: a `.onchip_verified.json`
+marker written by a zero-failure bench/verify_onchip.py run on a real
+TPU, keyed by a digest of the kernel source files (any kernel edit
+invalidates it). ILR_RESCUE=1/0 overrides either way.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from image_lens_reproject_tpu.ops import dispatch
+
+
+@pytest.fixture
+def marker(tmp_path, monkeypatch):
+    path = tmp_path / ".onchip_verified.json"
+    monkeypatch.setattr(dispatch, "_MARKER_PATH", path)
+    monkeypatch.delenv("ILR_RESCUE", raising=False)
+    return path
+
+
+def test_digest_is_stable_and_kernel_source_sensitive():
+    d1 = dispatch.kernel_source_digest()
+    d2 = dispatch.kernel_source_digest()
+    assert d1 == d2 and len(d1) == 64
+    # Every attested source exists (a rename must update the list).
+    base = Path(dispatch.__file__).resolve().parent
+    for rel in dispatch._KERNEL_SOURCES:
+        assert (base / rel).is_file(), rel
+
+
+def test_no_marker_means_disabled(marker):
+    assert not dispatch.rescue_verified()
+    assert not dispatch.rescue_enabled()
+
+
+def test_env_overrides(marker, monkeypatch):
+    monkeypatch.setenv("ILR_RESCUE", "1")
+    assert dispatch.rescue_enabled()
+    monkeypatch.setenv("ILR_RESCUE", "0")
+    assert not dispatch.rescue_enabled()
+
+
+def test_marker_roundtrip_enables(marker):
+    dispatch.write_onchip_marker("tpu", "21 configs", failures=0)
+    assert dispatch.rescue_verified()
+    assert dispatch.rescue_enabled()
+    rec = json.loads(marker.read_text())
+    assert rec["digest"] == dispatch.kernel_source_digest()
+
+
+def test_failed_or_cpu_marker_does_not_enable(marker):
+    dispatch.write_onchip_marker("tpu", "21 configs", failures=2)
+    assert not dispatch.rescue_verified()
+    dispatch.write_onchip_marker("cpu", "21 configs", failures=0)
+    assert not dispatch.rescue_verified()
+
+
+def test_stale_digest_does_not_enable(marker):
+    dispatch.write_onchip_marker("tpu", "21 configs", failures=0)
+    rec = json.loads(marker.read_text())
+    rec["digest"] = "0" * 64  # kernel sources changed since verification
+    marker.write_text(json.dumps(rec))
+    assert not dispatch.rescue_verified()
+
+
+def test_corrupt_marker_is_disabled(marker):
+    marker.write_text("{not json")
+    assert not dispatch.rescue_verified()

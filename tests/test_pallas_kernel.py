@@ -271,6 +271,32 @@ class TestKernelGolden:
         assert rb <= 40 and tr >= 32 and ng <= 2
         assert su % 8 == 0 and 16 <= su <= 48  # ~p95 column window
 
+    def test_displacement_margin_only_across_heights(self):
+        # The >3% displacement hysteresis applies only to TALLER
+        # candidates; within one tile_rows the pick is the modeled
+        # argmin (ADVICE r3: the old margin made same-height picks
+        # order-dependent).
+        rot = rotation_matrix_degrees(20.0, 5.0, 0.0)
+        RK._DEBUG_COSTS = []
+        try:
+            tr, ng, rb, su, cb = RK.suggest_tiling(
+                EQUIRECT, RECT, 1920, 3840, 2160, 3840, rot, "bicubic"
+            )
+            recs = list(RK._DEBUG_COSTS)
+        finally:
+            RK._DEBUG_COSTS = None
+        assert recs
+        chosen = [c for c, t, g, r, s, cbb, _, _ in recs
+                  if (t, g, r, s, cbb) == (tr, ng, rb, su, cb)]
+        assert chosen, "chosen tiling must appear in the recorded sweep"
+        chosen_cost = min(chosen)
+        same_tr_min = min(c for c, t, *_ in recs if t == tr)
+        assert chosen_cost <= same_tr_min + 1e-9
+        global_min = min(c for c, *_ in recs)
+        # A taller candidate inside the 3% band may lose, but nothing
+        # cheaper than min/0.97 can have been skipped.
+        assert chosen_cost <= global_min / 0.97 + 1e-9
+
     def test_planned_prepass_matches_inline(self):
         # make_plan + remap_tonemap_planned must equal the unplanned call.
         from image_lens_reproject_tpu.ops import remap_fused

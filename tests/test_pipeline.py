@@ -197,14 +197,14 @@ def test_mesh_resolve_fallbacks():
         out_width=64, out_height=30, interp="bilinear",
     )
     # Neither out_h nor in_h needs to divide the rows axis (bands pad +
-    # crop; source rows edge-pad for transport and slice off post-gather)
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 32) == (2, 4)
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4"), 30) == (2, 4)
+    # crop; source rows edge-pad for transport and slice off post-gather),
+    # so mesh resolution is input-shape-independent.
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="2,4")) == (2, 4)
     # more devices than visible -> fallback
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="64,1"), 32) is None
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="64,1")) is None
     # auto on the 8-device CPU mesh
-    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="auto"), 32) == (8, 1)
-    assert pl._resolve_mesh(pl.PipelineOptions(**base), 32) is None
+    assert pl._resolve_mesh(pl.PipelineOptions(**base, mesh="auto")) == (8, 1)
+    assert pl._resolve_mesh(pl.PipelineOptions(**base)) is None
 
 
 def _fake_tpu_dispatch(monkeypatch):
@@ -351,3 +351,93 @@ def test_suggest_tiling_fallback_warns_loudly(monkeypatch, capsys):
     # second call for the same config: no repeated warning
     remap_kernel.suggest_tiling(*args)
     assert "tiling cost model failed" not in capsys.readouterr().err
+
+
+def test_mesh_plan_cache_reuses_tiling(monkeypatch):
+    # ADVICE r3 medium: the sharded path must pay suggest_tiling (and the
+    # rescue-cap sizing) once per (shape, config, mesh) — a directory
+    # frame stream must not stall on per-batch plan recomputation.
+    import jax.numpy as jnp
+    from image_lens_reproject_tpu import pipeline as pl
+    from image_lens_reproject_tpu.models.lens import full_equirectangular
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel
+
+    calls = {"tiling": 0}
+
+    def counting_suggest(*a, **k):
+        calls["tiling"] += 1
+        return (8, 1, 40, 8, 256)
+
+    monkeypatch.setattr(remap_kernel, "suggest_tiling", counting_suggest)
+    pl._PLAN_CACHE.clear()
+    opts = base_opts(
+        input_lens=full_equirectangular(), mesh="2,4",
+        out_width=32, out_height=24, store_png=False,
+    )
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((32, 64, 3)).astype(F) for _ in range(2)]
+    out1 = pl.process_batch(imgs, opts)
+    out2 = pl.process_batch(imgs, opts)
+    assert calls["tiling"] == 1  # second batch hits the plan cache
+    assert out1[0].shape == (24, 32, 3)
+    np.testing.assert_array_equal(out1[0], out2[0])
+    # A different mesh is a different plan.
+    opts2 = base_opts(
+        input_lens=full_equirectangular(), mesh="4,2",
+        out_width=32, out_height=24, store_png=False,
+    )
+    pl.process_batch(imgs, opts2)
+    assert calls["tiling"] == 2
+
+
+def test_mesh_rescue_cap_gated_and_cached(monkeypatch, tmp_path):
+    # The sharded rescue cap is (a) computed only with on-chip
+    # verification evidence (ADVICE r3 high) and (b) cached across
+    # batches (ADVICE r3 medium).
+    import jax
+    import jax.numpy as jnp
+    from image_lens_reproject_tpu import pipeline as pl
+    from image_lens_reproject_tpu.models.lens import full_equirectangular
+    from image_lens_reproject_tpu.ops import dispatch
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel
+    from image_lens_reproject_tpu.parallel import batch as pbatch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        remap_kernel, "suggest_tiling", lambda *a, **k: (8, 1, 40, 8, 256)
+    )
+    cap_calls = {"n": 0}
+
+    def counting_cap(*a, **k):
+        cap_calls["n"] += 1
+        return 0
+
+    monkeypatch.setattr(pbatch, "size_rescue_cap", counting_cap)
+
+    def fake_step(batch, rot, *, mesh, out_h, out_w, **kw):
+        return jnp.zeros((batch.shape[0], out_h, out_w, batch.shape[3]),
+                         jnp.float32)
+
+    monkeypatch.setattr(pbatch, "sharded_remap_step", fake_step)
+    monkeypatch.setattr(dispatch, "_MARKER_PATH",
+                        tmp_path / ".onchip_verified.json")
+    monkeypatch.delenv("ILR_RESCUE", raising=False)
+
+    opts = base_opts(
+        input_lens=full_equirectangular(), mesh="2,4",
+        out_width=32, out_height=24, store_png=False,
+    )
+    rng = np.random.default_rng(4)
+    imgs = [rng.random((32, 64, 3)).astype(F) for _ in range(2)]
+
+    # No hardware evidence -> rescue cap never sized.
+    pl._PLAN_CACHE.clear()
+    pl.process_batch(imgs, opts)
+    assert cap_calls["n"] == 0
+
+    # Evidence present -> sized exactly once across repeated batches.
+    dispatch.write_onchip_marker("tpu", "test", failures=0)
+    pl._PLAN_CACHE.clear()
+    pl.process_batch(imgs, opts)
+    pl.process_batch(imgs, opts)
+    assert cap_calls["n"] == 1
