@@ -122,11 +122,18 @@ def main() -> int:
     from image_lens_reproject_tpu.ops import dispatch
 
     use_rescue = dispatch.rescue_enabled()
-    plan = remap_fused.make_plan(
-        rot, in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
+    plan_kw = dict(
+        in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
-        cb=cb, with_rescue=use_rescue,
+        cb=cb,
+    )
+    budgets = (
+        remap_fused.choose_rescue_budgets(rot, **plan_kw)
+        if use_rescue else None
+    )
+    plan = remap_fused.make_plan(
+        rot, with_rescue=use_rescue, rescue_budgets=budgets, **plan_kw,
     )
     scalars, bad = plan[0], plan[1]
     rescue = plan[2] if use_rescue else None
@@ -148,6 +155,7 @@ def main() -> int:
             bad,
             rescue,
             rescue_cap=rescue_cap,
+            rescue_budgets=budgets,
             in_lens=in_lens,
             out_lens=out_lens,
             out_h=OUT_H,
@@ -225,6 +233,7 @@ def main() -> int:
         "cb": cb,
         "rescued_subtiles": n_resc,
         "rescue_enabled": use_rescue,
+        "rescue_budgets": list(budgets) if budgets else None,
         "reps_mpix_s": [round(r, 1) for r in rates],
         "raw_reps_mpix_s": [round(r, 1) for r in raw_rates],
         "fetch_overhead_s": round(overhead, 3),

@@ -65,12 +65,18 @@ def main() -> int:
         from image_lens_reproject_tpu.ops import dispatch
 
         use_rescue = dispatch.rescue_enabled()
-        plan = remap_fused.make_plan(
-            rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
+        plan_kw = dict(
+            in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
-            with_rescue=use_rescue,
+        )
+        budgets = (
+            remap_fused.choose_rescue_budgets(rot, **plan_kw)
+            if use_rescue else None
+        )
+        plan = remap_fused.make_plan(
+            rot, with_rescue=use_rescue, rescue_budgets=budgets, **plan_kw,
         )
         scalars, bad = plan[0], plan[1]
         rescue = plan[2] if use_rescue else None
@@ -84,6 +90,7 @@ def main() -> int:
         def fn(s):
             return remap_fused.remap_tonemap_planned(
                 s, rot, scalars, bad, rescue, rescue_cap=rescue_cap,
+                rescue_budgets=budgets,
                 in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
@@ -98,6 +105,7 @@ def main() -> int:
             "tile_rows": tile_rows, "groups": n_groups, "rb": rb,
             "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
             "rescued_subtiles": n_resc, "rescue_enabled": use_rescue,
+            "rescue_budgets": list(budgets) if budgets else None,
         }), flush=True)
 
     RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)

@@ -1,9 +1,10 @@
 """Probe one BASELINE config on the real chip with explicit tilings.
 
-Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r]] [...]
+Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg]]] [...]
   cfg in {1, 2, 3, 4}   (see bench/baseline_configs.py)
   z=1: zero the bad mask (kernel-only rate; WRONG pixels — timing only)
   r=1: enable the pass-2 rescue (cap auto-sized from the plan)
+  rng:rg: explicit rescue budgets (e.g. 12:6); defaults RESCUE_NG/G
 
 Prints one JSON line per tiling (chained iterations, fetch-overhead
 subtracted). Use to iterate on a single config without re-timing all five.
@@ -42,7 +43,8 @@ def main() -> int:
         tr, ng, rb, su, cb = parts[:5]
         zero_bad = bool(parts[5]) if len(parts) > 5 else False
         use_rescue = bool(parts[6]) if len(parts) > 6 else False
-        tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue))
+        budgets = (parts[7], parts[8]) if len(parts) > 8 else None
+        tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue, budgets))
 
     EQUIRECT = full_equirectangular()
     if cfg == 1:
@@ -73,17 +75,18 @@ def main() -> int:
     rot = None if rot_np is None else jnp.asarray(rot_np)
 
     overhead = None
-    for tr, ng, rb, su, cb, zero_bad, use_rescue in tilings:
+    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets in tilings:
         try:
             plan = remap_fused.make_plan(
                 rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
                 out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=tr,
                 n_groups=ng, rb=rb, scan_unroll=su, cb=cb, channels=ch,
-                with_rescue=use_rescue,
+                with_rescue=use_rescue, rescue_budgets=budgets,
             )
             scalars, bad = plan[:2]
             rescue = plan[2] if use_rescue else None
             cap = 0
+            n_resc = 0
             if use_rescue:
                 n_resc = int(np.asarray(
                     jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
@@ -97,13 +100,14 @@ def main() -> int:
 
             @jax.jit
             def chain(src_, seed, _s=scalars, _b=bad, _r=rescue, _tr=tr,
-                      _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap):
+                      _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap, _bud=budgets):
                 return remap_fused.remap_tonemap_planned(
                     src_ + seed * jnp.float32(1e-12), rot, _s, _b, _r,
                     in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                     interp=interp, n_samples=1, exposure=exposure,
                     reinhard=reinhard, tile_rows=_tr, n_groups=_ng, rb=_rb,
                     scan_unroll=_su, cb=_cb, rescue_cap=_cap,
+                    rescue_budgets=_bud,
                 )
 
             out = chain(src, jnp.float32(0.0))
@@ -133,6 +137,8 @@ def main() -> int:
                 "reps": [round(r, 1) for r in rates],
                 "frac_bad_subtiles": round(frac_bad, 4),
                 "rescue_cap": cap,
+                "rescued_subtiles": n_resc,
+                "rescue_budgets": list(budgets) if budgets else None,
             }), flush=True)
         except Exception as e:
             print(json.dumps({

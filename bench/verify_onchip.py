@@ -76,6 +76,12 @@ def main() -> int:
         ("equisolid->equirect rot RESCUE", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
         ("equirect->rect seam RESCUE bc", EQUIRECT, RECT, "bicubic", rot180, (256, 512), (256, 256), 16, 1, 16),
         ("rect->equisolid RESCUE ss2", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
+        # non-default rescue budgets (plan-chosen ladder entries): taller
+        # windows (ng=12) and wider gather chunks (g=8) must be exact on
+        # hardware before choose_rescue_budgets may pick them
+        ("equisolid->equirect RESCUE ng12", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
+        ("rect->equisolid RESCUE ng12g8 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
+        ("rect->equisolid RESCUE ng16g8 bc", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bicubic", None, (512, 512), (512, 512), 24, 1, 16),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -94,18 +100,30 @@ def main() -> int:
         "equisolid->equirect rot RESCUE": 512,
         "equirect->rect seam RESCUE bc": 128,
         "rect->equisolid RESCUE ss2": 512,
+        "equisolid->equirect RESCUE ng12": 512,
+        "rect->equisolid RESCUE ng12g8 4ch": 512,
+        "rect->equisolid RESCUE ng16g8 bc": 512,
     }
+    # rescue budget override: non-default (ng, g) ladder entries.
+    budget_for = {
+        "equisolid->equirect RESCUE ng12": (12, 6),
+        "rect->equisolid RESCUE ng12g8 4ch": (12, 8),
+        "rect->equisolid RESCUE ng16g8 bc": (16, 8),
+    }
+    # channel-count override (4ch exercises the interleave-heavy budgets).
+    ch_for = {"rect->equisolid RESCUE ng12g8 4ch": 4}
 
     failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
         ns = ns_for.get(name, 1)
-        src = smooth(ih, iw, 3, seed=hash(name) % 1000)
+        src = smooth(ih, iw, ch_for.get(name, 3), seed=hash(name) % 1000)
         rj = None if r is None else jnp.asarray(r)
         out = RK.remap_pallas(
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,
             out_h=oh, out_w=ow, interp=interp, n_samples=ns, tile_rows=trows,
             n_groups=ng, rb=rb, scan_unroll=su_for.get(name, 0),
             rescue_cap=cap_for.get(name, 0),
+            rescue_budgets=budget_for.get(name),
         )
         got = np.asarray(out)
         want = oracle.oracle_remap(

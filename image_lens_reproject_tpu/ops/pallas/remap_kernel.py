@@ -99,13 +99,31 @@ def _resolve_su(scan_unroll: int, c_ch: int):
 
 # RESCUE PASS (pass 2) statics: sub-tiles the main kernel's shared
 # windows reject are re-run through a COMPACT whole-window launch with
-# per-sub-tile OWN windows (one (2*RESCUE_RB, (RESCUE_G+1)*128) DMA per
-# slot, RESCUE_NG*8 gather rows) before falling back to the ~30 ns/px
-# XLA patch. Admission is per sub-tile: row span <= RESCUE_NG*8 and
-# column extent * channels <= RESCUE_G*128.
-RESCUE_RB = 40
+# per-sub-tile OWN windows (one (2*rb2, (g+1)*128) DMA per slot, ng*8
+# gather rows) before falling back to the ~30 ns/px XLA patch.
+# Admission is per sub-tile: row span <= ng*8 and column extent *
+# channels <= g*128. The (ng, g) budgets are PER-PLAN parameters
+# (``rescue_budgets``) — taller/wider budgets admit more sub-tiles at a
+# per-slot cost that scales with ng*(2g-1); remap_fused.
+# choose_rescue_budgets picks the savings-maximizing ladder entry from
+# the config's actual span/extent distribution. These module values are
+# the defaults.
 RESCUE_NG = 8
 RESCUE_G = 6
+# Ladder of admissible (ng, g) budgets for the auto-chooser. Bounded by
+# scoped VMEM (scratch = 2 * 2*rb2 * (g+1)*128 f32; (16, 8) is 1.33 MB)
+# and by the per-slot gather cost approaching the XLA patch beyond it.
+RESCUE_LADDER = ((8, 6), (12, 6), (12, 8), (16, 8))
+
+
+def _rescue_rb(ng: int) -> int:
+    """Row-block half-height for an ng-group rescue window: the ng*8
+    gather rows plus 8-quantization headroom for the window base
+    (shift2 <= 7 + margin) must fit the 2*rb2 DMA block."""
+    return ng * 4 + 8
+
+
+RESCUE_RB = _rescue_rb(RESCUE_NG)  # default-budget block half-height (40)
 
 # Default row-group count per 8-row SUB-TILE (each sub-tile has its own
 # roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
@@ -664,7 +682,7 @@ def _prepass(
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
     cb: int = CB, max_chunks: int = 0, return_parts: bool = False,
-    rescue_channels: int = 0,
+    rescue_channels: int = 0, rescue_budgets=None,
 ):
     """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
 
@@ -842,10 +860,12 @@ def _prepass(
     if rescue_channels > 0:
         # Pass-2 admission: each sub-tile gets its OWN whole-window —
         # an 8-aligned row base and an exact column start, checked
-        # against the rescue kernel's fixed budgets. shift2 aligns the
+        # against the rescue launch's (ng, g) budgets. shift2 aligns the
         # sub-tile's window start to gather row 0 (single shift, no
-        # drift: the whole window rides in RESCUE_G vregs).
-        hw2 = 2 * RESCUE_RB
+        # drift: the whole window rides in g vregs). The SAME budgets
+        # must be passed to the launch (remap_pallas rescue_budgets).
+        r_ng, r_g = rescue_budgets if rescue_budgets else (RESCUE_NG, RESCUE_G)
+        hw2 = 2 * _rescue_rb(r_ng)
         r_base2 = jnp.clip(
             ((rmin_sub - margin) // 8) * 8, 0, max(h_pad - hw2, 0)
         )
@@ -856,10 +876,10 @@ def _prepass(
         ok2 = (
             (shift2 >= 0)
             & (rmax_sub + margin + 1 - r_base2 <= hw2)
-            & (span2 <= RESCUE_NG * 8)
-            & (shift2 + RESCUE_NG * 8 <= hw2)
+            & (span2 <= r_ng * 8)
+            & (shift2 + r_ng * 8 <= hw2)
             & (c_start2 >= 0)
-            & (ext2 * rescue_channels <= RESCUE_G * 128)
+            & (ext2 * rescue_channels <= r_g * 128)
             & (c_start2 + ext2 <= w_pad)
         )
         if wrap:
@@ -1252,6 +1272,7 @@ def _remap_pallas_one(
     row0=0,
     band_rows: int = 0,
     rescue_cap: int = 0,
+    rescue_budgets=None,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (band_rows, out_w, C), ok flag).
 
@@ -1285,6 +1306,8 @@ def _remap_pallas_one(
     n_ty = -(-band_rows // tile_rows)
     n_tx = -(-out_w // TC)
 
+    r_ng, r_g = rescue_budgets if rescue_budgets else (RESCUE_NG, RESCUE_G)
+    r_rb = _rescue_rb(r_ng)
     rescue = None
     if shared is None:
         padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb)
@@ -1296,6 +1319,7 @@ def _remap_pallas_one(
             tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
             cb=cb, max_chunks=1 if gchunks else 0,
             rescue_channels=c_ch if rescue_cap > 0 else 0,
+            rescue_budgets=(r_ng, r_g),
         )
         (scalars, bad), rescue = pre[:2], (pre[2] if len(pre) > 2 else None)
     elif len(shared) > 3:
@@ -1307,8 +1331,8 @@ def _remap_pallas_one(
     if (
         rescue is None
         or rescue_cap <= 0
-        or int(padded.shape[0]) < 2 * RESCUE_RB
-        or int(padded.shape[1]) < (RESCUE_G + 1) * 128
+        or int(padded.shape[0]) < 2 * r_rb
+        or int(padded.shape[1]) < (r_g + 1) * 128
     ):
         rescue = None
         rescue_cap = 0
@@ -1436,10 +1460,10 @@ def _remap_pallas_one(
 
             kernel2 = _make_kernel(
                 in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
-                interp, wrap, has_rotation, 8, RESCUE_NG, rb=RESCUE_RB,
-                scan_unroll=(RESCUE_G * 128) // c_ch, cb=cb,
+                interp, wrap, has_rotation, 8, r_ng, rb=r_rb,
+                scan_unroll=(r_g * 128) // c_ch, cb=cb,
                 h_pad=int(padded.shape[0]), wl=int(padded.shape[1]),
-                gchunks=RESCUE_G, compact=True,
+                gchunks=r_g, compact=True,
             )
             grid_spec2 = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -1456,7 +1480,7 @@ def _remap_pallas_one(
                 ),
                 scratch_shapes=[
                     pltpu.VMEM(
-                        (2, 2 * RESCUE_RB, (RESCUE_G + 1) * 128), jnp.float32
+                        (2, 2 * r_rb, (r_g + 1) * 128), jnp.float32
                     ),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
@@ -1621,6 +1645,8 @@ def make_prepass(
     band_rows: int = 0,
     channels: int = 3,
     with_rescue: bool = False,
+    rescue_budgets=None,
+    return_parts: bool = False,
 ) -> Tuple[Array, ...]:
     """Precompute the per-tile window scalars + overflow mask (a "plan").
 
@@ -1632,9 +1658,13 @@ def make_prepass(
     offsets so one plan covers every launch.
 
     ``with_rescue=True`` returns (scalars, bad, rescue): the extra
-    per-sub-tile pass-2 window fields. Size ``rescue_cap`` from
-    ``int((bad & (rescue[3] > 0)).sum())`` — the prepass is config-only,
-    so the count is constant across the frame stream.
+    per-sub-tile pass-2 window fields, computed against
+    ``rescue_budgets`` (an (ng, g) pair, default module constants —
+    remap_fused.choose_rescue_budgets picks per config). Size
+    ``rescue_cap`` from ``int((bad & (rescue[3] > 0)).sum())`` — the
+    prepass is config-only, so the count is constant across the frame
+    stream. ``return_parts=True`` instead returns (scalars, bad, parts):
+    the per-sub-tile window extremes for host-side budget selection.
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1662,6 +1692,8 @@ def make_prepass(
         row0=row0, rb=rb, scan_unroll=su_eff, cb=cb,
         max_chunks=1 if gchunks else 0,
         rescue_channels=channels if with_rescue else 0,
+        rescue_budgets=rescue_budgets,
+        return_parts=return_parts,
     )
 
 
@@ -1686,6 +1718,7 @@ def remap_pallas(
     band_rows: int = 0,
     prepass: Optional[Tuple[Array, ...]] = None,
     rescue_cap: int = 0,
+    rescue_budgets=None,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
@@ -1698,6 +1731,8 @@ def remap_pallas(
     ``prepass``: (scalars, bad) or (scalars, bad, rescue) from
     make_prepass; pass ``rescue_cap`` > 0 (static, sized from the plan's
     rescuable count) with the 3-tuple to enable the pass-2 rescue.
+    ``rescue_budgets``: the (ng, g) pair the rescue fields were computed
+    with — MUST match the make_prepass call (defaults match defaults).
     """
     from .. import color as color_ops
 
@@ -1733,6 +1768,7 @@ def remap_pallas(
                 n_groups_eff, row0=row0, rb=rb, scan_unroll=su_eff,
                 cb=cb_eff, max_chunks=1 if gch else 0,
                 rescue_channels=int(src.shape[2]) if rescue_cap > 0 else 0,
+                rescue_budgets=rescue_budgets,
             )
             (scalars, bad), rescue_f = pre[:2], (
                 pre[2] if len(pre) > 2 else None
@@ -1754,7 +1790,7 @@ def remap_pallas(
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                 scan_unroll=scan_unroll, cb=cb,
                 shared=shared, row0=row0, band_rows=band_rows,
-                rescue_cap=rescue_cap,
+                rescue_cap=rescue_cap, rescue_budgets=rescue_budgets,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))

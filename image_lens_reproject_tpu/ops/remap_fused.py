@@ -109,7 +109,7 @@ def remap_tonemap(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
-        "rescue_cap",
+        "rescue_cap", "rescue_budgets",
     ),
 )
 def remap_tonemap_planned(
@@ -133,6 +133,7 @@ def remap_tonemap_planned(
     scan_unroll: int = 0,
     cb: int = 0,
     rescue_cap: int = 0,
+    rescue_budgets=None,
 ) -> jax.Array:
     """remap_tonemap with a precomputed prepass (see make_plan).
 
@@ -141,7 +142,8 @@ def remap_tonemap_planned(
     4K, more at smaller resolutions. Pass ``rescue`` (from
     make_plan(with_rescue=True)) plus a static ``rescue_cap`` > 0 to
     recompute rescuable overflow sub-tiles with the exact pass-2 kernel
-    instead of the XLA patch.
+    instead of the XLA patch; ``rescue_budgets`` must be the same (ng, g)
+    the plan was computed with.
     """
     from .pallas import remap_kernel
 
@@ -153,6 +155,7 @@ def remap_tonemap_planned(
         reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups, rb=rb,
         scan_unroll=scan_unroll, cb=cb, prepass=pre,
         rescue_cap=rescue_cap if rescue is not None else 0,
+        rescue_budgets=rescue_budgets,
     )
 
 
@@ -161,7 +164,7 @@ def remap_tonemap_planned(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
-        "rescue_cap",
+        "rescue_cap", "rescue_budgets",
     ),
 )
 def remap_tonemap_planned_batch(
@@ -185,6 +188,7 @@ def remap_tonemap_planned_batch(
     scan_unroll: int = 0,
     cb: int = 0,
     rescue_cap: int = 0,
+    rescue_budgets=None,
 ) -> jax.Array:
     """(B, H, W, C) -> (B, out_h, out_w, C) in ONE device dispatch.
 
@@ -205,7 +209,7 @@ def remap_tonemap_planned_batch(
             interp=interp, n_samples=n_samples, exposure=exposure,
             reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
             rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=pre,
-            rescue_cap=cap,
+            rescue_cap=cap, rescue_budgets=rescue_budgets,
         )
         return None, out
 
@@ -231,10 +235,13 @@ def make_plan(
     cb: int = 0,
     channels: int = 3,
     with_rescue: bool = False,
+    rescue_budgets=None,
+    return_parts: bool = False,
 ):
     """Device-compute the reusable (scalars, bad[, rescue]) prepass for one
     config. ``with_rescue=True`` adds the pass-2 per-sub-tile window
-    fields (see remap_kernel.make_prepass)."""
+    fields, checked against ``rescue_budgets`` (see
+    remap_kernel.make_prepass; choose_rescue_budgets picks per config)."""
     from .pallas import remap_kernel
 
     fn = jax.jit(
@@ -244,7 +251,83 @@ def make_plan(
             out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
-            with_rescue=with_rescue,
+            with_rescue=with_rescue, rescue_budgets=rescue_budgets,
+            return_parts=return_parts,
         )
     )
     return fn(rotation)
+
+
+def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
+    """Modeled pass-2 cost per rescued pixel (ns) for (ng, g) budgets.
+
+    The compact whole-window launch runs ng*8 gather rows per 8x128
+    sub-tile; each row costs the mask chain (~taps*3), g chunk
+    broadcasts, and channels*taps gathers with (g-1) chained selects.
+    The ~1.3 ns/vector-op scale is provisional (fitted to the same probe
+    session as _RESCUE_NS_PER_PX; re-fit from bench/cfg_probe.py rescue
+    runs — the (8, 6) default reproduces the 6.0 ns/px estimate at
+    C=3 bilinear). Ranking-only: exactness is prepass-guarded.
+    """
+    ops_per_row = channels * taps * (2 * g - 1) + taps * 3 + g + 11
+    return ng * 8 * ops_per_row / 1024.0 * 1.3
+
+
+def choose_rescue_budgets(
+    rotation: Optional[jax.Array],
+    *,
+    in_lens: LensSpec,
+    out_lens: LensSpec,
+    in_h: int,
+    in_w: int,
+    out_h: int,
+    out_w: int,
+    interp: str = "bicubic",
+    n_samples: int = 1,
+    tile_rows: int = 8,
+    n_groups: int = 0,
+    rb: int = 40,
+    scan_unroll: int = 0,
+    cb: int = 0,
+    channels: int = 3,
+):
+    """Pick the savings-maximizing (ng, g) rescue budgets for one config.
+
+    Runs the prepass once in diagnostics mode (per-sub-tile window
+    extremes), then scores every RESCUE_LADDER entry by
+    sum(admitted) * (patch_cost - rescue_cost(ng, g)) — taller/wider
+    budgets admit more bad sub-tiles but cost more per slot, so e.g. the
+    equisolid->equirect polar arcs pick (12, 6) while a config whose
+    overflow is dominated by frame-wide folds stays at the (8, 6)
+    default. Config-only; the pipeline caches the choice in its plan.
+    """
+    import numpy as np
+
+    from .pallas import remap_kernel as RK
+
+    _, bad, parts = make_plan(
+        rotation, in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
+        out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
+        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+        scan_unroll=scan_unroll, cb=cb, channels=channels,
+        return_parts=True,
+    )
+    bad = np.asarray(bad)
+    margin = RK._margin_for(interp)
+    span2 = (np.asarray(parts["rmax_sub"]) - np.asarray(parts["rmin_sub"])
+             + 2 * margin + 1)
+    ext2 = (np.asarray(parts["cmax_sub"]) - np.asarray(parts["cmin_sub"])
+            + 2 * margin + 1)
+    taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
+    patch_ns = RK._PATCH_NS_PER_PX
+    best, best_saving = (RK.RESCUE_NG, RK.RESCUE_G), -1.0
+    for ng, g in RK.RESCUE_LADDER:
+        cost = rescue_cost_ns_per_px(ng, g, channels, taps)
+        if cost >= patch_ns:
+            continue
+        admitted = int(np.sum(bad & (span2 <= ng * 8)
+                              & (ext2 * channels <= g * 128)))
+        saving = admitted * (patch_ns - cost)
+        if saving > best_saving:
+            best, best_saving = (ng, g), saving
+    return best

@@ -49,6 +49,7 @@ from .mesh import BATCH_AXIS, ROWS_AXIS, input_sharding, output_sharding, replic
         "cb",
         "in_h",
         "rescue_cap",
+        "rescue_budgets",
     ),
 )
 def sharded_remap_step(
@@ -71,6 +72,7 @@ def sharded_remap_step(
     cb: int = 0,
     in_h: Optional[int] = None,
     rescue_cap: int = 0,
+    rescue_budgets=None,
 ) -> jax.Array:
     """(B, H, W, C) sharded batch -> (B, out_h, out_w, C) sharded outputs.
 
@@ -132,6 +134,7 @@ def sharded_remap_step(
                     row0=row0,
                     band_rows=band,
                     rescue_cap=rescue_cap,
+                    rescue_budgets=rescue_budgets,
                 )
             out = remap_ops.remap_image(
                 img,
@@ -192,10 +195,12 @@ def size_rescue_cap(
     scan_unroll: int = 0,
     cb: int = 0,
     channels: int = 3,
+    rescue_budgets=None,
 ) -> int:
     """Static pass-2 rescue cap for sharded_remap_step: the max rescuable
     sub-tile count over every device's row band (config-only; one host
-    pass per band at plan time), rounded up to 128. 0 disables rescue."""
+    pass per band at plan time), rounded up to 128. 0 disables rescue.
+    ``rescue_budgets`` must match the (ng, g) passed to the step."""
     from ..ops.pallas import remap_kernel
 
     n_rows = mesh.shape[ROWS_AXIS]
@@ -208,6 +213,7 @@ def size_rescue_cap(
             n_samples=n_samples, tile_rows=tile_rows, n_groups=n_groups,
             rb=rb, scan_unroll=scan_unroll, cb=cb, row0=r * band,
             band_rows=band, channels=channels, with_rescue=True,
+            rescue_budgets=rescue_budgets,
         )
         n = int(jnp.sum(jnp.logical_and(bad, rescue[3] > 0)))
         worst = max(worst, n)

@@ -182,11 +182,14 @@ def _resolve_mesh(opts: PipelineOptions):
     return b_ax, r_ax
 
 
-# (input shape, config) -> (tile_rows, n_groups, rb, scan_unroll, cb,
-# scalars, bad, rescue, rescue_cap): the Pallas prepass + pass-2 rescue
-# fields reused across every frame of a directory run (see
-# process_batch). LRU-bounded: plans hold device arrays, so a long-lived
-# process hitting many (shape, config) keys must evict.
+# Two plan flavors share this cache (see process_batch):
+#  (input shape, config)         -> (tile_rows, n_groups, rb, scan_unroll,
+#                                    cb, scalars, bad, rescue, rescue_cap,
+#                                    rescue_budgets)
+#  ("mesh", mesh, shape, config) -> (tile_rows, n_groups, rb, scan_unroll,
+#                                    cb, mesh_rescue_cap, rescue_budgets)
+# reused across every frame of a directory run. LRU-bounded: plans hold
+# device arrays, so a long-lived process hitting many keys must evict.
 _PLAN_CACHE_MAX = 16
 _PLAN_CACHE: "OrderedDict" = None  # initialized below
 
@@ -290,9 +293,23 @@ def process_batch(
                 # Pass-2 rescue inside each device's band: static cap =
                 # the max rescuable count over all bands (config-only;
                 # 0 on the virtual CPU mesh or clean configs). Gated on
-                # on-chip verification evidence (dispatch.rescue_enabled).
+                # on-chip verification evidence (dispatch.rescue_enabled);
+                # budgets chosen from the full-image span/extent stats.
                 mesh_rescue_cap = 0
+                mesh_budgets = None
                 if jax.default_backend() == "tpu" and dispatch.rescue_enabled():
+                    from .ops import remap_fused
+
+                    mesh_budgets = remap_fused.choose_rescue_budgets(
+                        rot, in_lens=opts.input_lens,
+                        out_lens=opts.output_lens, in_h=in_h,
+                        in_w=int(batch.shape[2]), out_h=opts.out_height,
+                        out_w=opts.out_width, interp=opts.interp,
+                        n_samples=opts.n_samples,
+                        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                        scan_unroll=scan_unroll, cb=cb,
+                        channels=int(batch.shape[3]),
+                    )
                     mesh_rescue_cap = pbatch.size_rescue_cap(
                         dmesh, in_lens=opts.input_lens,
                         out_lens=opts.output_lens, in_h=in_h,
@@ -302,13 +319,14 @@ def process_batch(
                         tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                         scan_unroll=scan_unroll, cb=cb,
                         channels=int(batch.shape[3]),
+                        rescue_budgets=mesh_budgets,
                     )
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
-                          mesh_rescue_cap)
+                          mesh_rescue_cap, mesh_budgets)
                 _plan_cache_put(key, cached)
                 _log_plan(opts, cached[:5], batch.shape[1:])
             (tile_rows, n_groups, rb, scan_unroll, cb,
-             mesh_rescue_cap) = cached
+             mesh_rescue_cap, mesh_budgets) = cached
             n_real = batch.shape[0]
             pad = (-n_real) % b_ax
             if pad:
@@ -328,6 +346,7 @@ def process_batch(
                 rot,
                 mesh=dmesh,
                 rescue_cap=mesh_rescue_cap,
+                rescue_budgets=mesh_budgets,
                 in_lens=opts.input_lens,
                 out_lens=opts.output_lens,
                 out_h=opts.out_height,
@@ -371,10 +390,11 @@ def process_batch(
                 # Pass-2 rescue only with on-chip verification evidence
                 # for the current kernel sources (or ILR_RESCUE=1):
                 # rescue-off is a perf fallback (bad sub-tiles take the
-                # XLA patch), never a correctness change.
+                # XLA patch), never a correctness change. The (ng, g)
+                # budgets are chosen per config from the prepass's
+                # span/extent stats (config-only, cached with the plan).
                 use_rescue = dispatch.rescue_enabled()
-                plan = remap_fused.make_plan(
-                    rot,
+                plan_kw = dict(
                     in_lens=opts.input_lens, out_lens=opts.output_lens,
                     in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
                     out_h=opts.out_height, out_w=opts.out_width,
@@ -382,7 +402,14 @@ def process_batch(
                     tile_rows=tile_rows, n_groups=n_groups, rb=rb,
                     scan_unroll=scan_unroll, cb=cb,
                     channels=int(batch.shape[3]),
-                    with_rescue=use_rescue,
+                )
+                budgets = (
+                    remap_fused.choose_rescue_budgets(rot, **plan_kw)
+                    if use_rescue else None
+                )
+                plan = remap_fused.make_plan(
+                    rot, with_rescue=use_rescue, rescue_budgets=budgets,
+                    **plan_kw,
                 )
                 scalars, bad = plan[0], plan[1]
                 rescue = plan[2] if use_rescue else None
@@ -397,11 +424,11 @@ def process_batch(
                 if rescue_cap == 0:
                     rescue = None
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
-                          scalars, bad, rescue, rescue_cap)
+                          scalars, bad, rescue, rescue_cap, budgets)
                 _plan_cache_put(key, cached)
                 _log_plan(opts, cached[:5], batch.shape[1:])
             (tile_rows, n_groups, rb, scan_unroll, cb,
-             scalars, bad, rescue, rescue_cap) = cached
+             scalars, bad, rescue, rescue_cap, budgets) = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms
             # of tunnel/dispatch latency, so per-image launches taxed
@@ -414,6 +441,7 @@ def process_batch(
                 bad,
                 rescue,
                 rescue_cap=rescue_cap,
+                rescue_budgets=budgets,
                 in_lens=opts.input_lens,
                 out_lens=opts.output_lens,
                 out_h=opts.out_height,

@@ -412,3 +412,51 @@ class TestKernelGolden:
         capped = np.asarray(remap_fused.remap_tonemap_planned(
             src, None, scalars, bad, rescue, rescue_cap=2, **kw))
         assert np.quantile(np.abs(capped - oracle), 0.999) < 1e-4
+
+    def test_rescue_budgets_admit_more_and_stay_exact(self):
+        # Plan-chosen rescue budgets: taller/wider (ng, g) ladder entries
+        # must admit at least as many bad sub-tiles as the default and
+        # the launch must stay exact vs the XLA reference at those
+        # budgets (VERDICT r3 #3: extend admission where it falls short).
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(96, 96, 3, seed=15))
+        inl = Rectilinear(50.0, 36.0, 36.0)
+        kw = dict(in_lens=inl, out_lens=EQUISOLID, out_h=32, out_w=128,
+                  interp="bilinear", n_samples=1, tile_rows=8, n_groups=1,
+                  rb=16, scan_unroll=8)
+        counts = {}
+        for budgets in (None, (12, 6), (12, 8)):
+            plan = remap_fused.make_plan(
+                None, in_h=96, in_w=96, channels=3, with_rescue=True,
+                rescue_budgets=budgets, **kw)
+            scalars, bad, rescue = plan
+            counts[budgets] = int(np.asarray(
+                jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+        assert counts[(12, 6)] >= counts[None]
+        assert counts[(12, 8)] >= counts[(12, 6)]
+        assert counts[(12, 8)] > 0
+        oracle = np.asarray(remap.remap_image(
+            src, None, in_lens=inl, out_lens=EQUISOLID,
+            out_h=32, out_w=128, interp="bilinear", n_samples=1,
+        ))
+        got = np.asarray(remap_fused.remap_tonemap_planned(
+            src, None, scalars, bad, rescue,
+            rescue_cap=max(128, counts[(12, 8)]), rescue_budgets=(12, 8),
+            **kw))
+        assert np.quantile(np.abs(got - oracle), 0.999) < 1e-4
+
+    def test_choose_rescue_budgets_ladder(self):
+        # The chooser returns a ladder entry; on the polar-arc config the
+        # span distribution should pull it above the default row budget.
+        from image_lens_reproject_tpu.ops import remap_fused
+        from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
+
+        budgets = remap_fused.choose_rescue_budgets(
+            jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0)),
+            in_lens=EQUISOLID, out_lens=EQUIRECT, in_h=512, in_w=512,
+            out_h=512, out_w=1024, interp="bilinear", n_samples=1,
+            tile_rows=32, n_groups=2, rb=40, scan_unroll=32, cb=256,
+        )
+        assert budgets in RKm.RESCUE_LADDER
+        assert budgets[0] >= RKm.RESCUE_NG
