@@ -1,0 +1,112 @@
+"""Re-fit the tiling cost-model constants from cfg_probe measurements.
+
+Consumes the JSON lines bench/cfg_probe.py prints (pass log files or
+paste lines on stdin) and solves for the per-pixel costs the model in
+ops/pallas/remap_kernel.py uses for ranking:
+
+* ``_PATCH_NS_PER_PX``  — from a (rescue-off) run vs a zero-bad run of
+  the same tiling: (t_off − t_zero) / patched_pixels.
+* ``_RESCUE_NS_PER_PX`` (at the probed budgets) — from a rescue-on vs
+  rescue-off pair at the SAME tiling:
+  rescue = patch − (t_off − t_on) / rescued_pixels.
+
+Each cfg_probe line carries mpix_s, frac_bad_subtiles, rescue_cap,
+rescued_subtiles and rescue_budgets, which is everything needed. Usage:
+
+    python bench/fit_costs.py /tmp/cfg2_r4.log /tmp/cfg4_r4.log
+
+Prints one JSON line per derivable constant with its provenance pair.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+
+
+def parse(paths):
+    recs = []
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue
+                if "mpix_s" in r:
+                    recs.append(r)
+    return recs
+
+
+def ns_per_px(rec):
+    return 1000.0 / rec["mpix_s"]
+
+
+def main() -> int:
+    recs = parse(sys.argv[1:])
+    if not recs:
+        print(json.dumps({"error": "no cfg_probe JSON lines found"}))
+        return 1
+
+    # Group by (cfg, tiling); within a group identify zero-bad / plain /
+    # rescue variants.
+    groups = defaultdict(list)
+    for r in recs:
+        key = (r["cfg"], r["tile_rows"], r["n_groups"], r["rb"],
+               r["scan_unroll"], r["cb"])
+        groups[key].append(r)
+
+    out_px = {1: 1080 * 1920, 2: 2048 * 4096, 3: 2160 * 3840, 4: 2048 * 2048}
+    results = []
+    for key, rs in groups.items():
+        cfg = key[0]
+        px = out_px.get(cfg)
+        plain = [r for r in rs if not r.get("rescue_cap")
+                 and r.get("frac_bad_subtiles", 0) > 0]
+        zeroed = [r for r in rs if r.get("frac_bad_subtiles") == 0]
+        rescue = [r for r in rs if r.get("rescue_cap")]
+        if plain and zeroed:
+            t_off, t_zero = ns_per_px(plain[0]), ns_per_px(zeroed[0])
+            f_bad = plain[0]["frac_bad_subtiles"]
+            if f_bad > 0:
+                results.append({
+                    "constant": "_PATCH_NS_PER_PX",
+                    "value": round((t_off - t_zero) / f_bad, 2),
+                    "cfg": cfg, "tiling": key[1:],
+                    "from": [plain[0]["mpix_s"], zeroed[0]["mpix_s"]],
+                })
+        for resc in rescue:
+            if not plain:
+                continue
+            t_off, t_on = ns_per_px(plain[0]), ns_per_px(resc)
+            n_resc = resc.get("rescued_subtiles") or resc.get("rescue_cap")
+            f_resc = n_resc * 8 * 128 / px
+            if f_resc <= 0:
+                continue
+            # patch prior: prefer the group-fitted value, else the model's
+            patch = next((x["value"] for x in results
+                          if x["constant"] == "_PATCH_NS_PER_PX"
+                          and x["cfg"] == cfg), 27.8)
+            results.append({
+                "constant": "_RESCUE_NS_PER_PX",
+                "value": round(patch - (t_off - t_on) / f_resc, 2),
+                "budgets": resc.get("rescue_budgets") or [8, 6],
+                "cfg": cfg, "tiling": key[1:],
+                "rescued_frac": round(f_resc, 4),
+                "from": [plain[0]["mpix_s"], resc["mpix_s"]],
+            })
+    for r in results:
+        print(json.dumps(r))
+    if not results:
+        print(json.dumps({
+            "error": "no derivable pairs (need same-tiling plain/zero-bad"
+                     "/rescue runs; see battery steps 4-5)"}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

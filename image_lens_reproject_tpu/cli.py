@@ -187,6 +187,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mesh", metavar="B,R|auto", help="Shard each batch over a (batch x rows) device mesh; 'auto' = all devices on the batch axis.")
     g.add_argument("--trace-dir", metavar="dir", help="Write a JAX profiler trace here.")
     g.add_argument("--pure-xla", action="store_true", help="Disable the Pallas fast path.")
+    g.add_argument("--rescue", choices=("auto", "on", "off"), default="auto",
+                   help="Pass-2 rescue of overflow sub-tiles: auto enables "
+                        "it only with on-chip verification evidence for the "
+                        "current kernel build (.onchip_verified.json).")
     g.add_argument("--json-log", action="store_true", help="Machine-readable JSON progress lines.")
     return p
 
@@ -367,6 +371,11 @@ def _run(args) -> int:
         from .ops import dispatch
 
         dispatch.set_pure_xla(True)
+
+    if args.rescue != "auto":
+        from .ops import dispatch
+
+        dispatch.set_rescue_override(args.rescue == "on")
 
     opts = PipelineOptions(
         input_lens=input_lens,

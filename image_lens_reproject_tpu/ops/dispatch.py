@@ -93,13 +93,25 @@ def rescue_verified() -> bool:
     )
 
 
+_rescue_override = None  # None = auto; True/False from --rescue on|off
+
+
+def set_rescue_override(value) -> None:
+    """CLI --rescue on|off|auto -> True|False|None."""
+    global _rescue_override
+    _rescue_override = value
+
+
 def rescue_enabled() -> bool:
     """Should the pipeline/bench enable the pass-2 rescue launch?
 
-    ``ILR_RESCUE=1`` forces on (e.g. the verification battery itself),
-    ``ILR_RESCUE=0`` forces off; otherwise on only with hardware
-    verification evidence for the current kernel sources.
+    Precedence: the CLI ``--rescue on|off`` override, then
+    ``ILR_RESCUE=1``/``0`` (e.g. the verification battery itself),
+    then auto: on only with hardware verification evidence for the
+    current kernel sources.
     """
+    if _rescue_override is not None:
+        return bool(_rescue_override)
     env = os.environ.get("ILR_RESCUE")
     if env in ("0", "1"):
         return env == "1"

@@ -46,6 +46,34 @@ def test_env_overrides(marker, monkeypatch):
     assert not dispatch.rescue_enabled()
 
 
+def test_cli_override_beats_env(marker, monkeypatch):
+    monkeypatch.setenv("ILR_RESCUE", "0")
+    dispatch.set_rescue_override(True)
+    try:
+        assert dispatch.rescue_enabled()
+        dispatch.set_rescue_override(False)
+        monkeypatch.setenv("ILR_RESCUE", "1")
+        assert not dispatch.rescue_enabled()
+    finally:
+        dispatch.set_rescue_override(None)
+
+
+def test_cli_rescue_flag_sets_override(marker, monkeypatch, tmp_path):
+    from image_lens_reproject_tpu import cli as cli_mod
+
+    seen = []
+    monkeypatch.setattr(dispatch, "set_rescue_override",
+                        lambda v: seen.append(v))
+    monkeypatch.setattr(cli_mod, "run_pipeline",
+                        lambda paths, outd, opts: type(
+                            "S", (), {"failed": [], "done": 0})())
+    argv = ["--no-configs", "16,16", "--single", str(tmp_path / "x.png"),
+            "--i-equidistant", "3.14159", "--rectilinear", "35,36",
+            "--png", "-o", str(tmp_path / "o"), "--rescue", "off"]
+    assert cli_mod.main(argv) == 0
+    assert seen == [False]
+
+
 def test_marker_roundtrip_enables(marker):
     dispatch.write_onchip_marker("tpu", "21 configs", failures=0)
     assert dispatch.rescue_verified()
