@@ -123,6 +123,21 @@ def _rescue_rb(ng: int) -> int:
     return ng * 4 + 8
 
 
+def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
+    """Modeled pass-2 cost per rescued pixel (ns) for (ng, g) budgets.
+
+    The compact whole-window launch runs ng*8 gather rows per 8x128
+    sub-tile; each row costs the mask chain (~taps*3), g chunk
+    broadcasts, and channels*taps gathers with (g-1) chained selects.
+    The ~1.3 ns/vector-op scale is provisional (same probe session as
+    _RESCUE_NS_PER_PX; re-fit from bench/cfg_probe.py rescue runs —
+    (8, 6) at C=3 bilinear reproduces the 6.0 ns/px estimate).
+    Ranking-only: exactness is prepass-guarded.
+    """
+    ops_per_row = channels * taps * (2 * g - 1) + taps * 3 + g + 11
+    return ng * 8 * ops_per_row / 1024.0 * 1.3
+
+
 RESCUE_RB = _rescue_rb(RESCUE_NG)  # default-budget block half-height (40)
 
 # Default row-group count per 8-row SUB-TILE (each sub-tile has its own
@@ -238,9 +253,10 @@ _TILING_CANDIDATES = tuple(
 # scales with the channel count; taps and rolls are comparatively cheap.
 # Ranking-only; the runtime prepass guards exactness.
 _PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
-_RESCUE_NS_PER_PX = 6.0   # pass-2 compact-launch recompute of rescuable
-                          # sub-tiles (provisional ~5x-cheaper estimate;
-                          # re-fit from cfg_probe rescue runs)
+_RESCUE_NS_PER_PX = 6.0   # legacy/fallback pass-2 cost; ranking now uses
+                          # rescue_cost_ns_per_px(ng, g, C, taps) per
+                          # RESCUE_LADDER entry (provisional op-count
+                          # model; re-fit from cfg_probe rescue runs)
 _KERNEL_BASE_NS = 14.0    # per-column loop/fetch share
 _KERNEL_ROLL_NS = 1.8     # per-sub-tile roll per column (x rb/40)
 _KERNEL_COLW_NS = 5.77    # per-sub-tile per-CHANNEL distribution chain
@@ -379,7 +395,8 @@ def suggest_tiling(
             col_over = c_span + slack > 2 * cbb
             window = c_span + slack  # scanned-column count per good tile
             if float((blk_over | col_over).mean()) > 0.55:
-                return [(1.0, SCAN_UNROLL, float(cbb), 1.0, 0.0)]  # dead
+                return [(1.0, SCAN_UNROLL, float(cbb), 1.0, 0.0,
+                         _RESCUE_NS_PER_PX)]  # dead
             # The unrolled scan step's live values scale with
             # ng*taps*su*n_sub; past ~10k the Mosaic stack allocator blows
             # the 16MB scoped-VMEM limit at COMPILE time (no runtime
@@ -408,18 +425,27 @@ def suggest_tiling(
             sylo_g = sgroup(tylo_s)
             syhi_g = sgroup(tyhi_s)
 
-            # Pass-2 rescue admission, simulated per sub-tile: a bad
-            # sub-tile whose OWN window fits the rescue budgets is priced
-            # at _RESCUE_NS_PER_PX instead of the XLA patch.
+            # Pass-2 rescue admission, simulated per sub-tile for EVERY
+            # ladder budget (the plan picks per config via
+            # choose_rescue_budgets, so the sim must mirror that): each
+            # entry's admitted mask rides with its modeled per-pixel
+            # cost; sim() then picks the savings-maximizing entry
+            # against the candidate's own bad set.
             if with_rescue:
                 rspan = syhi_g.max(axis=(3, 4)) - sylo_g.min(axis=(3, 4))
                 cext = sxg.max(axis=(3, 4)) - sxg.min(axis=(3, 4))
-                resc_fit = (
-                    (rspan + 2 * margin + 1 <= RESCUE_NG * 8)
-                    & ((cext + slack) * channels <= RESCUE_G * 128)
-                )  # (nt, q, nc)
+                resc_entries = []
+                for r_ng, r_g in RESCUE_LADDER:
+                    cost_r = rescue_cost_ns_per_px(r_ng, r_g, channels, taps)
+                    if cost_r >= _PATCH_NS_PER_PX:
+                        continue
+                    fit = (
+                        (rspan + 2 * margin + 1 <= r_ng * 8)
+                        & ((cext + slack) * channels <= r_g * 128)
+                    )  # (nt, q, nc)
+                    resc_entries.append((fit, cost_r))
             else:
-                resc_fit = None
+                resc_entries = None
 
             def sim(su):
                 # Simulate the device prepass's sheared per-chunk
@@ -472,12 +498,17 @@ def suggest_tiling(
                 # its tile's shared window fails entirely.
                 tile_bad = (blk_over | col_over | (window > nch * su))
                 sub_bad_full = sub_bad | tile_bad[:, None, :]
-                if resc_fit is not None:
-                    f_resc = float((sub_bad_full & resc_fit).mean())
-                else:
-                    f_resc = 0.0
+                f_resc, resc_cost = 0.0, _RESCUE_NS_PER_PX
+                if resc_entries:
+                    best_sav = 0.0
+                    for fit, cost_r in resc_entries:
+                        fr = float((sub_bad_full & fit).mean())
+                        sav = fr * (_PATCH_NS_PER_PX - cost_r)
+                        if sav > best_sav:
+                            best_sav, f_resc, resc_cost = sav, fr, cost_r
                 f_patch = float(sub_bad_full.mean()) - f_resc
-                return float(over.mean()), su, scanned, f_patch, f_resc
+                return (float(over.mean()), su, scanned, f_patch, f_resc,
+                        resc_cost)
 
             # Smaller chunks shear finer (fewer bad tiles) at more loop
             # steps; evaluate both the p95 window and a 32-column step.
@@ -503,7 +534,7 @@ def suggest_tiling(
             # tax (the 0.15 nudge below).
             cb_opts = [CB, 2 * CB]
             for cbb in cb_opts:
-                for f, su, scanned, f_patch, f_resc in candidate_stats(
+                for f, su, scanned, f_patch, f_resc, resc_cost in candidate_stats(
                         tr, ng, rb, cbb):
                     # The runtime 60% patch cap applies AFTER the rescue
                     # pass takes its share.
@@ -532,7 +563,7 @@ def suggest_tiling(
                     f_patch_eff = max(0.0, f_patch - 0.01)
                     cost = (
                         f_patch_eff * _PATCH_NS_PER_PX
-                        + f_resc * _RESCUE_NS_PER_PX
+                        + f_resc * resc_cost
                         + max(0.0, 1.0 - f_patch_eff - f_resc) * kern
                     )
                     if _DEBUG_COSTS is not None:

@@ -259,18 +259,10 @@ def make_plan(
 
 
 def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
-    """Modeled pass-2 cost per rescued pixel (ns) for (ng, g) budgets.
+    """Modeled pass-2 cost per rescued pixel; see remap_kernel's copy."""
+    from .pallas import remap_kernel
 
-    The compact whole-window launch runs ng*8 gather rows per 8x128
-    sub-tile; each row costs the mask chain (~taps*3), g chunk
-    broadcasts, and channels*taps gathers with (g-1) chained selects.
-    The ~1.3 ns/vector-op scale is provisional (fitted to the same probe
-    session as _RESCUE_NS_PER_PX; re-fit from bench/cfg_probe.py rescue
-    runs — the (8, 6) default reproduces the 6.0 ns/px estimate at
-    C=3 bilinear). Ranking-only: exactness is prepass-guarded.
-    """
-    ops_per_row = channels * taps * (2 * g - 1) + taps * 3 + g + 11
-    return ng * 8 * ops_per_row / 1024.0 * 1.3
+    return remap_kernel.rescue_cost_ns_per_px(ng, g, channels, taps)
 
 
 def choose_rescue_budgets(
