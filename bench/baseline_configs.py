@@ -2,13 +2,19 @@
 
 Prints one JSON line per config (device-path Mpix/s for configs 1-4; the
 directory config runs the full pipeline including EXR decode/encode).
-Usage: python bench/baseline_configs.py [--quick]
+Usage: python bench/baseline_configs.py [--quick] [--smoke]
+
+--smoke: validate the SCRIPT end to end without a chip — CPU backend,
+interpret-mode kernels, 16x-shrunk shapes, 1 iteration, rescue forced
+on. Numbers are meaningless; it exists so a relay-recovery battery
+never runs an untested harness first.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import tempfile
 import time
@@ -17,6 +23,13 @@ from pathlib import Path
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
+
+SMOKE = "--smoke" in sys.argv
+if SMOKE:
+    os.environ.setdefault("ILR_RESCUE", "1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def fetch(arr):
@@ -37,7 +50,7 @@ def time_device(fn, src, iters=20):
 
 def main() -> int:
     quick = "--quick" in sys.argv
-    iters = 20 if quick else 40
+    iters = 1 if SMOKE else (20 if quick else 40)
 
     import jax
     import jax.numpy as jnp
@@ -49,10 +62,14 @@ def main() -> int:
     from image_lens_reproject_tpu.ops import remap_fused
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
 
+    if SMOKE:
+        remap_kernel.set_interpret(True)
     rng = np.random.default_rng(0)
 
     def bench_device(name, in_lens, out_lens, ih, iw, oh, ow, interp, rot_np,
                      exposure=1.0, reinhard=1.0, channels=3):
+        if SMOKE:
+            ih, iw, oh, ow = ih // 16, iw // 16, oh // 16, ow // 16
         src = jnp.asarray(rng.uniform(0, 2, (ih, iw, channels)).astype(np.float32))
         rot = None if rot_np is None else jnp.asarray(rot_np)
         tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
@@ -136,17 +153,19 @@ def main() -> int:
     from image_lens_reproject_tpu.io import exr as exr_io
     from image_lens_reproject_tpu.pipeline import PipelineOptions, discover_files, run_pipeline
 
-    n_frames = 2 if quick else 6
+    n_frames = 2 if (quick or SMOKE) else 6
+    fh, fw = (120, 240) if SMOKE else (1920, 3840)
+    ow5, oh5 = (240, 136) if SMOKE else (3840, 2160)
     with tempfile.TemporaryDirectory() as td:
         in_dir = Path(td) / "frames"
         in_dir.mkdir()
-        frame = rng.uniform(0, 2, (1920, 3840, 4)).astype(np.float32)
+        frame = rng.uniform(0, 2, (fh, fw, 4)).astype(np.float32)
         for i in range(n_frames):
             exr_io.write_exr(str(in_dir / f"f{i:03d}.exr"), frame)
         opts = PipelineOptions(
             input_lens=EQUIRECT,
-            output_lens=Rectilinear(35.0, 36.0, 36.0 * 2160 / 3840),
-            out_width=3840, out_height=2160,
+            output_lens=Rectilinear(35.0, 36.0, 36.0 * oh5 / ow5),
+            out_width=ow5, out_height=oh5,
             interp="bicubic", store_exr=True, num_threads=8, batch_size=1,
         )
         paths = discover_files(str(in_dir))
