@@ -43,6 +43,16 @@ ITERS_PER_REP = 50
 FIRST_FETCH_TIMEOUT_S = 900.0
 FETCH_TIMEOUT_S = 120.0
 
+# --smoke: validate the harness end to end without a chip (CPU backend,
+# interpret kernels, 16x-shrunk shapes, 1 iteration). Numbers are
+# meaningless; exists so a relay-recovery battery never runs an
+# untested harness. The driver's bare `python bench.py` is unaffected.
+SMOKE = "--smoke" in sys.argv
+if SMOKE:
+    SRC_H, SRC_W = SRC_H // 16, SRC_W // 16
+    OUT_H, OUT_W = OUT_H // 16, OUT_W // 16
+    REPS, ITERS_PER_REP = 2, 1
+
 
 def _fetch_with_timeout(arr, timeout_s: float):
     result = {}
@@ -65,6 +75,15 @@ def _fetch_with_timeout(arr, timeout_s: float):
 
 def main() -> int:
     import jax
+
+    if SMOKE:
+        import os
+
+        os.environ.setdefault("ILR_RESCUE", "1")
+        jax.config.update("jax_platforms", "cpu")
+        from image_lens_reproject_tpu.ops.pallas import remap_kernel as _rk
+
+        _rk.set_interpret(True)
     import jax.numpy as jnp
 
     from image_lens_reproject_tpu.models.lens import Rectilinear, full_equirectangular
@@ -219,6 +238,7 @@ def main() -> int:
 
     record = {
         "metric": "4K equirect->rectilinear bicubic+tonemap remap throughput",
+        **({"smoke": True} if SMOKE else {}),
         "value": round(value, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(value / TARGET_MPIX_S, 3),
