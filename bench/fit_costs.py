@@ -91,13 +91,24 @@ def main() -> int:
             patch = next((x["value"] for x in results
                           if x["constant"] == "_PATCH_NS_PER_PX"
                           and x["cfg"] == cfg), 27.8)
+            rescue_ns = patch - (t_off - t_on) / f_resc
+            f_patch = max(0.0, resc["frac_bad_subtiles"] - f_resc)
             results.append({
                 "constant": "_RESCUE_NS_PER_PX",
-                "value": round(patch - (t_off - t_on) / f_resc, 2),
+                "value": round(rescue_ns, 2),
                 "budgets": resc.get("rescue_budgets") or [8, 6],
                 "cfg": cfg, "tiling": key[1:],
                 "rescued_frac": round(f_resc, 4),
                 "from": [plain[0]["mpix_s"], resc["mpix_s"]],
+                # Measured time breakdown for this config at this tiling
+                # (VERDICT r3 #3's "where the remaining time goes"):
+                "breakdown_ns_per_px": {
+                    "total": round(t_on, 2),
+                    "patch": round(f_patch * patch, 2),
+                    "rescue": round(f_resc * rescue_ns, 2),
+                    "kernel_and_rest": round(
+                        t_on - f_patch * patch - f_resc * rescue_ns, 2),
+                },
             })
     for r in results:
         print(json.dumps(r))
