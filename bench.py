@@ -130,38 +130,29 @@ def main() -> int:
 
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
 
-    tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
-        in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP
-    )
-    # The prepass depends only on the config; a frame stream computes it
-    # once (pipeline directory mode does the same via its plan cache).
     # Rescue only with on-chip verification evidence for the current
     # kernel sources (dispatch.rescue_enabled; the headline usually has
-    # 0 rescuable sub-tiles either way).
+    # 0 rescuable sub-tiles either way); the tiling pick models only
+    # what the runtime will do.
     from image_lens_reproject_tpu.ops import dispatch
 
     use_rescue = dispatch.rescue_enabled()
-    plan_kw = dict(
+    tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
+        in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP,
+        with_rescue=use_rescue,
+    )
+    # The prepass depends only on the config; a frame stream computes it
+    # once (pipeline directory mode does the same via its plan cache).
+    scalars, bad, rescue, rescue_cap, budgets = remap_fused.plan_with_rescue(
+        rot, use_rescue=use_rescue,
         in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
         cb=cb,
     )
-    budgets = (
-        remap_fused.choose_rescue_budgets(rot, **plan_kw)
-        if use_rescue else None
-    )
-    plan = remap_fused.make_plan(
-        rot, with_rescue=use_rescue, rescue_budgets=budgets, **plan_kw,
-    )
-    scalars, bad = plan[0], plan[1]
-    rescue = plan[2] if use_rescue else None
     n_resc = 0
     if rescue is not None:
         n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
-    rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
-    if rescue_cap == 0:
-        rescue = None
 
     @jax.jit
     def chain(src_, seed):

@@ -72,37 +72,27 @@ def main() -> int:
             ih, iw, oh, ow = ih // 16, iw // 16, oh // 16, ow // 16
         src = jnp.asarray(rng.uniform(0, 2, (ih, iw, channels)).astype(np.float32))
         rot = None if rot_np is None else jnp.asarray(rot_np)
-        tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
-            in_lens, out_lens, ih, iw, oh, ow, rot_np, interp, channels=channels
-        )
-        # Planned prepass + pass-2 rescue cap, as the pipeline does for a
-        # frame stream (pipeline.py:process_batch). Rescue is gated on
-        # on-chip verification evidence (dispatch.rescue_enabled), like
-        # the pipeline.
+        # Rescue is gated on on-chip verification evidence
+        # (dispatch.rescue_enabled), like the pipeline; the tiling pick
+        # models only what the runtime will do.
         from image_lens_reproject_tpu.ops import dispatch
 
         use_rescue = dispatch.rescue_enabled()
-        plan_kw = dict(
+        tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
+            in_lens, out_lens, ih, iw, oh, ow, rot_np, interp,
+            channels=channels, with_rescue=use_rescue,
+        )
+        # One shared plan construction path with the pipeline/bench.py.
+        scalars, bad, rescue, rescue_cap, budgets = remap_fused.plan_with_rescue(
+            rot, use_rescue=use_rescue,
             in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
         )
-        budgets = (
-            remap_fused.choose_rescue_budgets(rot, **plan_kw)
-            if use_rescue else None
-        )
-        plan = remap_fused.make_plan(
-            rot, with_rescue=use_rescue, rescue_budgets=budgets, **plan_kw,
-        )
-        scalars, bad = plan[0], plan[1]
-        rescue = plan[2] if use_rescue else None
         n_resc = 0
         if rescue is not None:
             n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
-        rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
-        if rescue_cap == 0:
-            rescue = None
 
         def fn(s):
             return remap_fused.remap_tonemap_planned(

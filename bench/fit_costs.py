@@ -24,6 +24,8 @@ import json
 import sys
 from collections import defaultdict
 
+sys.path.insert(0, "/root/repo")
+
 
 def parse(paths):
     recs = []
@@ -87,10 +89,14 @@ def main() -> int:
             f_resc = n_resc * 8 * 128 / px
             if f_resc <= 0:
                 continue
-            # patch prior: prefer the group-fitted value, else the model's
+            # patch prior: prefer the group-fitted value, else the
+            # model's authoritative constant.
+            from image_lens_reproject_tpu.ops.pallas import remap_kernel
+
             patch = next((x["value"] for x in results
                           if x["constant"] == "_PATCH_NS_PER_PX"
-                          and x["cfg"] == cfg), 27.8)
+                          and x["cfg"] == cfg),
+                         remap_kernel._PATCH_NS_PER_PX)
             rescue_ns = patch - (t_off - t_on) / f_resc
             f_patch = max(0.0, resc["frac_bad_subtiles"] - f_resc)
             results.append({

@@ -113,10 +113,16 @@ def main() -> int:
     # channel-count override (4ch exercises the interleave-heavy budgets).
     ch_for = {"rect->equisolid RESCUE ng12g8 4ch": 4}
 
+    import zlib
+
     failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
         ns = ns_for.get(name, 1)
-        src = smooth(ih, iw, ch_for.get(name, 3), seed=hash(name) % 1000)
+        # crc32, not hash(): PYTHONHASHSEED randomizes hash() per process,
+        # which would verify different pixel data every battery run and
+        # make a marginal failure unreproducible.
+        src = smooth(ih, iw, ch_for.get(name, 3),
+                     seed=zlib.crc32(name.encode()) % 1000)
         rj = None if r is None else jnp.asarray(r)
         out = RK.remap_pallas(
             jnp.asarray(src), rj, in_lens=il, out_lens=ol,

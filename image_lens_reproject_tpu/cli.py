@@ -372,10 +372,13 @@ def _run(args) -> int:
 
         dispatch.set_pure_xla(True)
 
-    if args.rescue != "auto":
-        from .ops import dispatch
+    from .ops import dispatch as _dispatch
 
-        dispatch.set_rescue_override(args.rescue == "on")
+    # Unconditional: "auto" must RESET any override left by a previous
+    # in-process invocation (tests, library embedding).
+    _dispatch.set_rescue_override(
+        None if args.rescue == "auto" else args.rescue == "on"
+    )
 
     opts = PipelineOptions(
         input_lens=input_lens,

@@ -54,13 +54,23 @@ def pure_xla_forced() -> bool:
     return _pure_xla
 
 
+_digest_cache = None
+
+
 def kernel_source_digest() -> str:
-    """sha256 over the kernel sources the on-chip battery attests."""
-    h = hashlib.sha256()
-    base = Path(__file__).resolve().parent
-    for rel in _KERNEL_SOURCES:
-        h.update((base / rel).read_bytes())
-    return h.hexdigest()
+    """sha256 over the kernel sources the on-chip battery attests.
+
+    Memoized: sources cannot change under a running process, and
+    rescue_enabled() is consulted per plan lookup.
+    """
+    global _digest_cache
+    if _digest_cache is None:
+        h = hashlib.sha256()
+        base = Path(__file__).resolve().parent
+        for rel in _KERNEL_SOURCES:
+            h.update((base / rel).read_bytes())
+        _digest_cache = h.hexdigest()
+    return _digest_cache
 
 
 def write_onchip_marker(platform: str, battery: str, failures: int) -> None:

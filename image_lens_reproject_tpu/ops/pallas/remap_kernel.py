@@ -129,9 +129,10 @@ def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
     The compact whole-window launch runs ng*8 gather rows per 8x128
     sub-tile; each row costs the mask chain (~taps*3), g chunk
     broadcasts, and channels*taps gathers with (g-1) chained selects.
-    The ~1.3 ns/vector-op scale is provisional (same probe session as
-    _RESCUE_NS_PER_PX; re-fit from bench/cfg_probe.py rescue runs —
-    (8, 6) at C=3 bilinear reproduces the 6.0 ns/px estimate).
+    The ~1.3 ns/vector-op scale is provisional: (8, 6) at C=3 bilinear
+    yields 7.2 ns/px, the same magnitude as (slightly above) the 6.0
+    ns/px _RESCUE_NS_PER_PX op-count estimate. Re-fit BOTH from
+    bench/cfg_probe.py rescue runs (bench/fit_costs.py derives them).
     Ranking-only: exactness is prepass-guarded.
     """
     ops_per_row = channels * taps * (2 * g - 1) + taps * 3 + g + 11

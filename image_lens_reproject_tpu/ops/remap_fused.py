@@ -265,61 +265,59 @@ def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
     return remap_kernel.rescue_cost_ns_per_px(ng, g, channels, taps)
 
 
-def choose_rescue_budgets(
-    rotation: Optional[jax.Array],
-    *,
-    in_lens: LensSpec,
-    out_lens: LensSpec,
-    in_h: int,
-    in_w: int,
-    out_h: int,
-    out_w: int,
-    interp: str = "bicubic",
-    n_samples: int = 1,
-    tile_rows: int = 8,
-    n_groups: int = 0,
-    rb: int = 40,
-    scan_unroll: int = 0,
-    cb: int = 0,
-    channels: int = 3,
-):
-    """Pick the savings-maximizing (ng, g) rescue budgets for one config.
+def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_kw):
+    """Build the frame-stream plan, ladder-choosing the rescue budgets.
 
-    Runs the prepass once in diagnostics mode (per-sub-tile window
-    extremes), then scores every RESCUE_LADDER entry by
-    sum(admitted) * (patch_cost - rescue_cost(ng, g)) — taller/wider
-    budgets admit more bad sub-tiles but cost more per slot, so e.g. the
-    equisolid->equirect polar arcs pick (12, 6) while a config whose
-    overflow is dominated by frame-wide folds stays at the (8, 6)
-    default. Config-only; the pipeline caches the choice in its plan.
+    The single construction path shared by the pipeline, bench.py and
+    bench/baseline_configs (one implementation to keep in lockstep).
+    Returns (scalars, bad, rescue, rescue_cap, rescue_budgets); rescue
+    is None (cap 0, budgets None) when disabled or nothing is rescuable.
+
+    With rescue enabled, every admissible RESCUE_LADDER entry gets its
+    own prepass and the EXACT admitted count (``bad & rescue[3] > 0`` —
+    including the window-fit/seam/c_start constraints the prepass
+    applies, not just the span/extent bounds); the entry maximizing
+    admitted * (patch_cost - rescue_cost(ng, g)) wins. Config-only work:
+    callers cache the result per (shape, config).
     """
     import numpy as np
 
     from .pallas import remap_kernel as RK
 
-    _, bad, parts = make_plan(
-        rotation, in_lens=in_lens, out_lens=out_lens, in_h=in_h, in_w=in_w,
-        out_h=out_h, out_w=out_w, interp=interp, n_samples=n_samples,
-        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-        scan_unroll=scan_unroll, cb=cb, channels=channels,
-        return_parts=True,
-    )
-    bad = np.asarray(bad)
-    margin = RK._margin_for(interp)
-    span2 = (np.asarray(parts["rmax_sub"]) - np.asarray(parts["rmin_sub"])
-             + 2 * margin + 1)
-    ext2 = (np.asarray(parts["cmax_sub"]) - np.asarray(parts["cmin_sub"])
-            + 2 * margin + 1)
-    taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[interp]
+    if not use_rescue:
+        scalars, bad = make_plan(rotation, with_rescue=False, **plan_kw)
+        return scalars, bad, None, 0, None
+
+    taps = RK._interp_taps(plan_kw.get("interp", "bicubic"))
+    channels = plan_kw.get("channels", 3)
     patch_ns = RK._PATCH_NS_PER_PX
-    best, best_saving = (RK.RESCUE_NG, RK.RESCUE_G), -1.0
+    best = None  # (saving, plan, n_resc, budgets)
     for ng, g in RK.RESCUE_LADDER:
-        cost = rescue_cost_ns_per_px(ng, g, channels, taps)
+        cost = RK.rescue_cost_ns_per_px(ng, g, channels, taps)
         if cost >= patch_ns:
             continue
-        admitted = int(np.sum(bad & (span2 <= ng * 8)
-                              & (ext2 * channels <= g * 128)))
-        saving = admitted * (patch_ns - cost)
-        if saving > best_saving:
-            best, best_saving = (ng, g), saving
-    return best
+        plan = make_plan(rotation, with_rescue=True,
+                         rescue_budgets=(ng, g), **plan_kw)
+        scalars, bad, rescue = plan
+        n_adm = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
+        saving = n_adm * (patch_ns - cost)
+        if best is None or saving > best[0]:
+            best = (saving, plan, n_adm, (ng, g))
+    if best is None:
+        # No ladder entry beats the patch for this (channels, taps) —
+        # e.g. very wide channel counts under bicubic.
+        scalars, bad = make_plan(rotation, with_rescue=False, **plan_kw)
+        return scalars, bad, None, 0, None
+    scalars, bad, rescue = best[1]
+    n_resc, budgets = best[2], best[3]
+    rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
+    if rescue_cap == 0:
+        rescue, budgets = None, None
+    return scalars, bad, rescue, rescue_cap, budgets
+
+
+def choose_rescue_budgets(rotation: Optional[jax.Array], **plan_kw):
+    """The (ng, g) budgets plan_with_rescue would pick (None if rescue
+    would be empty). Kept as the budget-only query; plan construction
+    should go through plan_with_rescue."""
+    return plan_with_rescue(rotation, use_rescue=True, **plan_kw)[4]

@@ -276,28 +276,37 @@ def process_batch(
             # rescue cap (n_rows eager make_prepass device passes + a
             # blocking fetch) are config-only — a directory frame stream
             # must pay them once, not per batch (tunnel dispatch is ~ms
-            # and D2H is slow; see CLAUDE.md hazards).
+            # and D2H is slow; see CLAUDE.md hazards). The rescue gating
+            # state is part of the key: evidence can appear mid-process
+            # (verify_onchip writing the marker) and must not be frozen
+            # by a stale plan.
+            mesh_rescue = (
+                jax.default_backend() == "tpu" and dispatch.rescue_enabled()
+            )
             key = ("mesh", mesh_shape, batch.shape[1:], opts.input_lens,
                    opts.output_lens, opts.out_height, opts.out_width,
                    opts.interp, opts.n_samples,
-                   None if opts.rotation is None else opts.rotation.tobytes())
+                   None if opts.rotation is None else opts.rotation.tobytes(),
+                   mesh_rescue)
             cached = _plan_cache_get(key)
             if cached is None:
+                # The tiling pick must model only what the runtime will
+                # actually do: no rescue pricing when rescue is off.
                 tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
                     opts.input_lens, opts.output_lens,
                     in_h, int(batch.shape[2]),
                     opts.out_height, opts.out_width,
                     opts.rotation, opts.interp,
                     channels=int(batch.shape[3]),
+                    with_rescue=mesh_rescue,
                 )
                 # Pass-2 rescue inside each device's band: static cap =
                 # the max rescuable count over all bands (config-only;
                 # 0 on the virtual CPU mesh or clean configs). Gated on
-                # on-chip verification evidence (dispatch.rescue_enabled);
-                # budgets chosen from the full-image span/extent stats.
+                # on-chip verification evidence (dispatch.rescue_enabled).
                 mesh_rescue_cap = 0
                 mesh_budgets = None
-                if jax.default_backend() == "tpu" and dispatch.rescue_enabled():
+                if mesh_rescue:
                     from .ops import remap_fused
 
                     mesh_budgets = remap_fused.choose_rescue_budgets(
@@ -310,17 +319,18 @@ def process_batch(
                         scan_unroll=scan_unroll, cb=cb,
                         channels=int(batch.shape[3]),
                     )
-                    mesh_rescue_cap = pbatch.size_rescue_cap(
-                        dmesh, in_lens=opts.input_lens,
-                        out_lens=opts.output_lens, in_h=in_h,
-                        in_w=int(batch.shape[2]), out_h=opts.out_height,
-                        out_w=opts.out_width, interp=opts.interp,
-                        rotation=rot, n_samples=opts.n_samples,
-                        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                        scan_unroll=scan_unroll, cb=cb,
-                        channels=int(batch.shape[3]),
-                        rescue_budgets=mesh_budgets,
-                    )
+                    if mesh_budgets is not None:
+                        mesh_rescue_cap = pbatch.size_rescue_cap(
+                            dmesh, in_lens=opts.input_lens,
+                            out_lens=opts.output_lens, in_h=in_h,
+                            in_w=int(batch.shape[2]), out_h=opts.out_height,
+                            out_w=opts.out_width, interp=opts.interp,
+                            rotation=rot, n_samples=opts.n_samples,
+                            tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                            scan_unroll=scan_unroll, cb=cb,
+                            channels=int(batch.shape[3]),
+                            rescue_budgets=mesh_budgets,
+                        )
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
                           mesh_rescue_cap, mesh_budgets)
                 _plan_cache_put(key, cached)
@@ -374,55 +384,44 @@ def process_batch(
             from .ops import remap_fused
             from .ops.pallas import remap_kernel
 
+            # Pass-2 rescue only with on-chip verification evidence for
+            # the current kernel sources (or an explicit override):
+            # rescue-off is a perf fallback (bad sub-tiles take the XLA
+            # patch), never a correctness change. The gating state is
+            # part of the cache key — evidence can appear mid-process
+            # (verify_onchip writing the marker).
+            use_rescue = dispatch.rescue_enabled()
             key = (batch.shape[1:], opts.input_lens, opts.output_lens,
                    opts.out_height, opts.out_width, opts.interp,
                    opts.n_samples,
-                   None if opts.rotation is None else opts.rotation.tobytes())
+                   None if opts.rotation is None else opts.rotation.tobytes(),
+                   use_rescue)
             cached = _plan_cache_get(key)
             if cached is None:
+                # The tiling pick models only what the runtime will do:
+                # no rescue pricing when rescue is off.
                 tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
                     opts.input_lens, opts.output_lens,
                     int(batch.shape[1]), int(batch.shape[2]),
                     opts.out_height, opts.out_width,
                     opts.rotation, opts.interp,
                     channels=int(batch.shape[3]),
+                    with_rescue=use_rescue,
                 )
-                # Pass-2 rescue only with on-chip verification evidence
-                # for the current kernel sources (or ILR_RESCUE=1):
-                # rescue-off is a perf fallback (bad sub-tiles take the
-                # XLA patch), never a correctness change. The (ng, g)
-                # budgets are chosen per config from the prepass's
-                # span/extent stats (config-only, cached with the plan).
-                use_rescue = dispatch.rescue_enabled()
-                plan_kw = dict(
-                    in_lens=opts.input_lens, out_lens=opts.output_lens,
-                    in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
-                    out_h=opts.out_height, out_w=opts.out_width,
-                    interp=opts.interp, n_samples=opts.n_samples,
-                    tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                    scan_unroll=scan_unroll, cb=cb,
-                    channels=int(batch.shape[3]),
+                # One shared construction path (plan + ladder-chosen
+                # budgets + cap) with bench.py/baseline_configs.
+                scalars, bad, rescue, rescue_cap, budgets = (
+                    remap_fused.plan_with_rescue(
+                        rot, use_rescue=use_rescue,
+                        in_lens=opts.input_lens, out_lens=opts.output_lens,
+                        in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
+                        out_h=opts.out_height, out_w=opts.out_width,
+                        interp=opts.interp, n_samples=opts.n_samples,
+                        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                        scan_unroll=scan_unroll, cb=cb,
+                        channels=int(batch.shape[3]),
+                    )
                 )
-                budgets = (
-                    remap_fused.choose_rescue_budgets(rot, **plan_kw)
-                    if use_rescue else None
-                )
-                plan = remap_fused.make_plan(
-                    rot, with_rescue=use_rescue, rescue_budgets=budgets,
-                    **plan_kw,
-                )
-                scalars, bad = plan[0], plan[1]
-                rescue = plan[2] if use_rescue else None
-                # Pass-2 rescue cap: the prepass is config-only, so the
-                # rescuable count is constant across the frame stream —
-                # one tiny plan-time device fetch sizes the static cap.
-                rescue_cap = 0
-                if rescue is not None:
-                    n_resc = int(np.asarray(jnp.sum(jnp.logical_and(
-                        bad, rescue[3] > 0))))
-                    rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
-                if rescue_cap == 0:
-                    rescue = None
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
                           scalars, bad, rescue, rescue_cap, budgets)
                 _plan_cache_put(key, cached)

@@ -229,9 +229,11 @@ def _stub_kernel_path(monkeypatch):
     import jax.numpy as jnp
 
     def fake_plan(*a, **k):
-        # (scalars, bad, rescue) with zero bad sub-tiles -> rescue_cap 0
-        return (None, jnp.zeros((1, 1, 1), bool),
-                jnp.zeros((4, 1, 1, 1), jnp.int32))
+        # (scalars, bad[, rescue]) with zero bad sub-tiles -> rescue_cap 0
+        base = (None, jnp.zeros((1, 1, 1), bool))
+        if k.get("with_rescue"):
+            return base + (jnp.zeros((4, 1, 1, 1), jnp.int32),)
+        return base
 
     monkeypatch.setattr(remap_fused, "make_plan", fake_plan)
 
@@ -402,16 +404,23 @@ def test_mesh_rescue_cap_gated_and_cached(monkeypatch, tmp_path):
     from image_lens_reproject_tpu.ops.pallas import remap_kernel
     from image_lens_reproject_tpu.parallel import batch as pbatch
 
+    from image_lens_reproject_tpu.ops import remap_fused
+
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(
         remap_kernel, "suggest_tiling", lambda *a, **k: (8, 1, 40, 8, 256)
     )
-    cap_calls = {"n": 0}
+    cap_calls = {"n": 0, "choose": 0}
+
+    def counting_choose(*a, **k):
+        cap_calls["choose"] += 1
+        return (8, 6)
 
     def counting_cap(*a, **k):
         cap_calls["n"] += 1
         return 0
 
+    monkeypatch.setattr(remap_fused, "choose_rescue_budgets", counting_choose)
     monkeypatch.setattr(pbatch, "size_rescue_cap", counting_cap)
 
     def fake_step(batch, rot, *, mesh, out_h, out_w, **kw):
@@ -430,14 +439,15 @@ def test_mesh_rescue_cap_gated_and_cached(monkeypatch, tmp_path):
     rng = np.random.default_rng(4)
     imgs = [rng.random((32, 64, 3)).astype(F) for _ in range(2)]
 
-    # No hardware evidence -> rescue cap never sized.
+    # No hardware evidence -> budgets never chosen, cap never sized.
     pl._PLAN_CACHE.clear()
     pl.process_batch(imgs, opts)
-    assert cap_calls["n"] == 0
+    assert cap_calls == {"n": 0, "choose": 0}
 
-    # Evidence present -> sized exactly once across repeated batches.
+    # Evidence present -> chosen + sized exactly once across repeated
+    # batches. NOT cleared here: the marker flip alone must invalidate
+    # the cached rescue-off plan (gating state is part of the key).
     dispatch.write_onchip_marker("tpu", "test", failures=0)
-    pl._PLAN_CACHE.clear()
     pl.process_batch(imgs, opts)
     pl.process_batch(imgs, opts)
-    assert cap_calls["n"] == 1
+    assert cap_calls == {"n": 1, "choose": 1}
