@@ -63,7 +63,6 @@ run() {
 run verify  python bench/verify_onchip.py
 run bench   python bench.py
 run baseline python bench/baseline_configs.py --quick
-run vmem    python bench/rescue_vmem_probe.py
 run cfg2fit python bench/cfg_probe.py 2 \
     24:3:40:32:256:1 24:3:40:32:256:0:0 24:3:40:32:256:0:1:12:6
 run cfg4fit python bench/cfg_probe.py 4 \

@@ -76,12 +76,16 @@ def main() -> int:
         ("equisolid->equirect rot RESCUE", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
         ("equirect->rect seam RESCUE bc", EQUIRECT, RECT, "bicubic", rot180, (256, 512), (256, 256), 16, 1, 16),
         ("rect->equisolid RESCUE ss2", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
-        # non-default rescue budgets (plan-chosen ladder entries): taller
-        # windows (ng=12) and wider gather chunks (g=8) must be exact on
-        # hardware before choose_rescue_budgets may pick them
+        # non-default rescue budgets (plan-chosen ladder entries): each
+        # remap_kernel._RESCUE_VMEM_OK anchor must be exact on hardware
+        # before choose_rescue_budgets may pick budgets under it.
+        # ((12,8)/(16,8) with bilinear+ and bicubic beyond C=3 are
+        # measured Mosaic scoped-VMEM compile FAILs — rescue_vmem_probe
+        # — so the ladder never picks them; no cases here.)
         ("equisolid->equirect RESCUE ng12", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
-        ("rect->equisolid RESCUE ng12g8 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
-        ("rect->equisolid RESCUE ng16g8 bc", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bicubic", None, (512, 512), (512, 512), 24, 1, 16),
+        ("rect->equisolid RESCUE ng12g6 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
+        ("rect->equisolid RESCUE 5ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
+        ("rect->equisolid RESCUE ng16g8 nn", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "nearest", None, (512, 512), (512, 512), 24, 1, 16),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -101,17 +105,20 @@ def main() -> int:
         "equirect->rect seam RESCUE bc": 128,
         "rect->equisolid RESCUE ss2": 512,
         "equisolid->equirect RESCUE ng12": 512,
-        "rect->equisolid RESCUE ng12g8 4ch": 512,
-        "rect->equisolid RESCUE ng16g8 bc": 512,
+        "rect->equisolid RESCUE ng12g6 4ch": 512,
+        "rect->equisolid RESCUE 5ch": 512,
+        "rect->equisolid RESCUE ng16g8 nn": 512,
     }
     # rescue budget override: non-default (ng, g) ladder entries.
     budget_for = {
         "equisolid->equirect RESCUE ng12": (12, 6),
-        "rect->equisolid RESCUE ng12g8 4ch": (12, 8),
-        "rect->equisolid RESCUE ng16g8 bc": (16, 8),
+        "rect->equisolid RESCUE ng12g6 4ch": (12, 6),
+        "rect->equisolid RESCUE ng16g8 nn": (16, 8),
     }
-    # channel-count override (4ch exercises the interleave-heavy budgets).
-    ch_for = {"rect->equisolid RESCUE ng12g8 4ch": 4}
+    # channel-count overrides (4/5ch exercise the interleave-heavy
+    # budgets at the measured feasibility anchors).
+    ch_for = {"rect->equisolid RESCUE ng12g6 4ch": 4,
+              "rect->equisolid RESCUE 5ch": 5}
 
     import zlib
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import functools
 import sys
+import warnings
 from typing import Any, Optional, Tuple
 
 import jax
@@ -114,6 +115,40 @@ RESCUE_G = 6
 # scoped VMEM (scratch = 2 * 2*rb2 * (g+1)*128 f32; (16, 8) is 1.33 MB)
 # and by the per-slot gather cost approaching the XLA patch beyond it.
 RESCUE_LADDER = ((8, 6), (12, 6), (12, 8), (16, 8))
+
+# Scoped-VMEM compile feasibility of the compact rescue launch, measured
+# on a real v5e (bench/rescue_vmem_probe.py, 2026-08-19). Mosaic unrolls
+# ng*8 gather rows x channels*taps gathers with (g-1) chained selects
+# per sub-tile, and its scoped-VMEM *stack* (not the scratch buffers)
+# hard-fails past the 16 MiB limit — e.g. (12, 8, C=3, bilinear) needs
+# 16.98M, (8, 6, C=4, bicubic) 22.46M, (12, 6, C=4, bicubic) 33.62M.
+# Feasibility is antitone in each of (ng, g, channels, taps), so a combo
+# is feasible iff it is componentwise <= a measured-OK anchor; anything
+# else (including unprobed in-between combos) is conservatively rejected
+# — extend the probe grid before admitting new corners.
+_RESCUE_VMEM_OK = (
+    # (ng, g, channels, taps) — measured compile-OK on chip. Nearby
+    # measured FAILs bound each anchor: (8,6,4,bc) 22.46M, (12,6,3,bc)
+    # 21.62M, (12,6,5,bl), (12,8,3,bl) 16.98M, (16,8,3,bl), (16,8,4,nn).
+    (8, 6, 3, 4),    # default budgets, bicubic C=3
+    (8, 6, 5, 2),    # default budgets, bilinear up to RGBAZ
+    (12, 6, 4, 2),   # plan pick for BASELINE cfgs 2 (C=3) and 4 (C=4)
+    (16, 8, 3, 1),   # nearest is light enough for the top ladder entry
+)
+
+
+def rescue_feasible(ng: int, g: int, channels: int, taps: int) -> bool:
+    """Can the compact rescue launch COMPILE at these budgets?
+
+    Consulted by the planner (plan_with_rescue / suggest_tiling's
+    rescue-ladder sim) so it never picks budgets that crash Mosaic.
+    Ranking-only callers must not bypass it: an infeasible pick is a
+    hard compile failure on hardware, not a slow one.
+    """
+    key = (ng, g, channels, taps)
+    return any(
+        all(k <= a for k, a in zip(key, ok)) for ok in _RESCUE_VMEM_OK
+    )
 
 
 def _rescue_rb(ng: int) -> int:
@@ -437,6 +472,8 @@ def suggest_tiling(
                 cext = sxg.max(axis=(3, 4)) - sxg.min(axis=(3, 4))
                 resc_entries = []
                 for r_ng, r_g in RESCUE_LADDER:
+                    if not rescue_feasible(r_ng, r_g, channels, taps):
+                        continue
                     cost_r = rescue_cost_ns_per_px(r_ng, r_g, channels, taps)
                     if cost_r >= _PATCH_NS_PER_PX:
                         continue
@@ -1767,6 +1804,21 @@ def remap_pallas(
     with — MUST match the make_prepass call (defaults match defaults).
     """
     from .. import color as color_ops
+
+    if rescue_cap > 0:
+        r_ng, r_g = rescue_budgets if rescue_budgets else (RESCUE_NG, RESCUE_G)
+        if not rescue_feasible(r_ng, r_g, int(src.shape[2]),
+                               _interp_taps(interp)):
+            # Deliberate compiles of infeasible combos (the VMEM probe)
+            # go through here too, so warn rather than raise; the
+            # planner never picks these.
+            warnings.warn(
+                f"rescue budgets (ng={r_ng}, g={r_g}) are outside the "
+                f"measured scoped-VMEM feasibility for C={src.shape[2]} "
+                f"{interp}: expect a Mosaic compile failure on hardware "
+                "(see remap_kernel._RESCUE_VMEM_OK)",
+                stacklevel=2,
+            )
 
     offsets = remap_ops.supersample_offsets(n_samples)
 

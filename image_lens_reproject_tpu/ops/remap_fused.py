@@ -293,6 +293,12 @@ def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_
     patch_ns = RK._PATCH_NS_PER_PX
     best = None  # (saving, plan, n_resc, budgets)
     for ng, g in RK.RESCUE_LADDER:
+        if not RK.rescue_feasible(ng, g, channels, taps):
+            # Budgets whose compact launch cannot COMPILE on hardware
+            # (Mosaic scoped-VMEM stack > 16 MiB) — e.g. bicubic beyond
+            # C=3 at the default budgets. Skipping falls back to the
+            # XLA patch for those sub-tiles, never a compile crash.
+            continue
         cost = RK.rescue_cost_ns_per_px(ng, g, channels, taps)
         if cost >= patch_ns:
             continue

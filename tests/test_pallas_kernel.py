@@ -460,3 +460,44 @@ class TestKernelGolden:
         )
         assert budgets in RKm.RESCUE_LADDER
         assert budgets[0] >= RKm.RESCUE_NG
+
+    def test_rescue_feasibility_gate(self):
+        # Measured scoped-VMEM anchors (bench/rescue_vmem_probe.py, v5e):
+        # the planner must never pick budgets whose compact launch
+        # cannot compile on hardware.
+        from image_lens_reproject_tpu.ops import remap_fused
+        from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
+
+        # anchors and dominated combos compile
+        assert RKm.rescue_feasible(8, 6, 3, 2)
+        assert RKm.rescue_feasible(8, 6, 5, 2)
+        assert RKm.rescue_feasible(8, 6, 3, 4)
+        assert RKm.rescue_feasible(12, 6, 4, 2)
+        assert RKm.rescue_feasible(16, 8, 3, 1)
+        # measured Mosaic scoped-VMEM OOMs stay rejected
+        assert not RKm.rescue_feasible(12, 8, 3, 2)   # 16.98M vs 16M
+        assert not RKm.rescue_feasible(8, 6, 4, 4)    # 22.46M
+        assert not RKm.rescue_feasible(12, 6, 3, 4)   # 21.62M
+        assert not RKm.rescue_feasible(12, 6, 5, 2)
+        assert not RKm.rescue_feasible(16, 8, 4, 1)
+        # bicubic beyond C=3 has NO feasible ladder entry: the planner
+        # must disable rescue outright rather than crash the compile.
+        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+            None, use_rescue=True,
+            in_lens=Rectilinear(50.0, 36.0, 36.0), out_lens=EQUISOLID,
+            in_h=256, in_w=256, out_h=256, out_w=256, interp="bicubic",
+            n_samples=1, tile_rows=24, n_groups=1, rb=16,
+            scan_unroll=32, cb=256, channels=4,
+        )
+        assert rescue is None and cap == 0 and budgets is None
+        # the same geometry under bilinear C=4 does rescue, at a
+        # feasible ladder entry
+        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+            None, use_rescue=True,
+            in_lens=Rectilinear(50.0, 36.0, 36.0), out_lens=EQUISOLID,
+            in_h=256, in_w=256, out_h=256, out_w=256, interp="bilinear",
+            n_samples=1, tile_rows=24, n_groups=1, rb=16,
+            scan_unroll=32, cb=256, channels=4,
+        )
+        assert rescue is not None and cap > 0
+        assert RKm.rescue_feasible(budgets[0], budgets[1], 4, 2)
