@@ -11,8 +11,12 @@ entries blind during the relay outage; the round-4 battery caught
 This probe AOT-compiles (never runs) the rescue launch for a grid of
 (ng, g, channels, interp) on the real chip and prints one JSON line per
 combo: {"ng", "g", "channels", "interp", "score", "ok", "error"}.
-``score = ng*8 * channels * taps * g`` is the candidate admission
-metric; the fitted threshold lands in remap_kernel.rescue_feasible.
+``score = ng*8 * channels * taps * g`` is a rough size proxy (the
+measured boundary is NOT a single score threshold — e.g. (12,6,4,bl)
+s=4608 compiles while (12,8,3,bl) s=4608 OOMs); the measured OK/FAIL
+anchors land in remap_kernel._RESCUE_VMEM_OK / rescue_feasible, which
+extends them by componentwise dominance. Extend the grid here before
+admitting any new (ng, g, C, taps) corner.
 
 Usage: python bench/rescue_vmem_probe.py [ng:g:C:interp ...]
 (defaults to a boundary-bracketing grid).
