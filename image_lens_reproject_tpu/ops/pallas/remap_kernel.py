@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.lens import LensSpec, wrap_mode_for_input
 from .. import remap as remap_ops
 from . import taps as taps_mod
+from . import ww2 as ww2_mod
 from .kernel_math import kxp
 
 Array = Any
@@ -86,17 +87,30 @@ SC = 24     # per-tile scalar slots (6 fixed + 2 per 8-row sub-tile: tile_rows<=
 # drift = 0 automatically).
 
 
+# scan_unroll <= -(_WW2_BASE + 1) selects the drift-corrected two-step
+# gather whole-window body (ops/pallas/ww2.py) with -su - _WW2_BASE
+# chunks; plain negatives select the row-loop whole-window body. The
+# flag rides in scan_unroll so every existing plan/cache/CLI path keys
+# the mode without signature changes.
+_WW2_BASE = 16
+
+
 def _resolve_su(scan_unroll: int, c_ch: int):
-    """Return (scan columns per step, gather chunks) for a scan_unroll knob.
+    """Return (scan cols per step, gather chunks, ww2) for a scan_unroll knob.
 
     Positive values select the scan kernel with that unroll; negative
-    values select the whole-window kernel with ``-scan_unroll`` 128-lane
-    gather chunks (the scan budget is then the chunk capacity in columns).
+    values select a whole-window kernel with ``-scan_unroll`` 128-lane
+    gather chunks (the scan budget is then the chunk capacity in
+    columns); below ``-_WW2_BASE`` the two-step-gather body replaces the
+    row loop (chunks = ``-scan_unroll - _WW2_BASE``).
     """
     if scan_unroll < 0:
         g = -scan_unroll
-        return (g * 128) // c_ch, g
-    return (scan_unroll if scan_unroll > 0 else SCAN_UNROLL), 0
+        ww2 = g > _WW2_BASE
+        if ww2:
+            g -= _WW2_BASE
+        return (g * 128) // c_ch, g, ww2
+    return (scan_unroll if scan_unroll > 0 else SCAN_UNROLL), 0, False
 
 # RESCUE PASS (pass 2) statics: sub-tiles the main kernel's shared
 # windows reject are re-run through a COMPACT whole-window launch with
@@ -302,6 +316,24 @@ _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 _DEBUG_COSTS = None       # set to a list to record every candidate's
                           # (cost, tr, ng, rb, su, cb, f_patch, f_resc)
                           # from the next suggest_tiling call (fit aid)
+_WW2_TILE_NS = 1500.0     # per-tile fixed share (DMA issue + rolls), ns
+
+
+def ww2_cost_ns_per_px(g: int, taps: int, c: int) -> float:
+    """Modeled two-step-gather body cost per pixel (ns), ng=1.
+
+    Op counts from ops/pallas/ww2.py's structure: C*(taps+2) lane
+    gathers (chunk chains add 2 ops each past g=1), taps*(C*(taps+2)+1)
+    sublane gathers, 2 selects + 2 FMAs per (c, n, m). Weights: lane
+    gathers ~5x an average vector op, sublane ~1.5x (op_model.py /
+    gather_cost_probe.py), 0.4 ns per average op (the scan body's fitted
+    implied cost). PROVISIONAL — re-fit from on-chip ww_sweep runs.
+    Ranking-only: the prepass admission guards exactness.
+    """
+    lane = c * (taps + 2) * (1 + 2 * (g - 1))
+    sub = taps * (c * (taps + 2) + 1)
+    rest = 4 * taps * taps * c + 24
+    return (5.0 * lane + 1.5 * sub + rest) / 1024.0 * 0.4
 
 
 def suggest_tiling(
@@ -396,6 +428,15 @@ def suggest_tiling(
 
         margin = _margin_for(interp)
         slack = taps + 2 * margin + 2
+
+        # The two-step-gather whole-window body is admitted as a
+        # candidate only with on-chip verification evidence for the
+        # current kernel sources (the same marker that gates the rescue
+        # pass): a stale marker falls back to the scan body, never to an
+        # unattested fast path.
+        from .. import dispatch as _dispatch
+
+        ww2_allowed = _dispatch.rescue_verified()
 
         # Flattened per-sample fields for the sheared-prepass simulation.
         tylo_s = tylo_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)
@@ -554,6 +595,45 @@ def suggest_tiling(
             alt = min(32, su_cap)
             if alt != su95:
                 out.append(sim(alt))
+
+            # ---- ww2 candidates (two-step-gather whole-window) ----
+            # ng=1 only (the body's sublane gather reaches 8 rows); a
+            # sub-tile is additionally bad when its per-column tap-0
+            # spread across the 8 rows exceeds 1 or its taps are not
+            # consecutive (trunc-toward-zero duplicates at sx in [0,1)
+            # for bicubic, clamp collapse at the right border) — the
+            # ops/pallas/ww2.py exactness contract, which the device
+            # prepass enforces exactly.
+            if ng == 1 and ww2_allowed and cbb == CB:
+                tap0 = np.trunc(sxx + np.float32(off_lo))
+                spr_bad = (
+                    tap0.max(axis=2) - tap0.min(axis=2) >= 2
+                )  # (nb, nc, cchunk)
+                noncons = np.zeros_like(spr_bad)
+                if taps == 4:
+                    noncons |= (sx_s < 1.0).any(axis=2)
+                if not wrap:
+                    noncons |= (sx_s >= in_w - taps).any(axis=2)
+                band_bad = (spr_bad | noncons).any(axis=-1)  # (nb, nc)
+                sub_bad_w = _pad_group(band_bad, q, 0).reshape(nt, q, nc)
+                for gch in (1, 2):
+                    cap_cols = (gch * 128) // channels - slack
+                    if cap_cols <= 0:
+                        continue
+                    over_w = blk_over | (window > cap_cols)
+                    sub_bad_full = sub_bad_w | over_w[:, None, :]
+                    f_resc, resc_cost = 0.0, _RESCUE_NS_PER_PX
+                    if resc_entries:
+                        best_sav = 0.0
+                        for fit, cost_r in resc_entries:
+                            fr = float((sub_bad_full & fit).mean())
+                            sav = fr * (_PATCH_NS_PER_PX - cost_r)
+                            if sav > best_sav:
+                                best_sav, f_resc, resc_cost = sav, fr, cost_r
+                    f_patch = float(sub_bad_full.mean()) - f_resc
+                    out.append((float(over_w.mean()), -(_WW2_BASE + gch),
+                                float(cap_cols), f_patch, f_resc,
+                                resc_cost))
             return out
 
         # Pick the candidate minimizing modeled per-pixel cost: overflow
@@ -579,19 +659,30 @@ def suggest_tiling(
                     if f_patch > 0.55:
                         continue
                     n_sub = max(1, tr // 8)
-                    grp_ns = (_KERNEL_GROUP_NS + _KERNEL_GROUP_NS2 * ng) * channels
-                    # Roll cost scales with the rolled window height
-                    # (2*rb sublanes; fitted at rb=40); the distribution
-                    # chain scales with the channel count (fitted at 3).
-                    col_ns = _KERNEL_BASE_NS + n_sub * (
-                        _KERNEL_ROLL_NS * (rb / RB)
-                        + grp_ns * ng * taps
-                        + _KERNEL_COLW_NS * channels
-                    )
-                    kern = scanned * col_ns / (tr * TC)
-                    # Bigger scan budgets tax the prepass; nudge so
-                    # cb=512 only wins when it meaningfully cuts overflow.
-                    kern *= 1.0 + 0.15 * (cbb // CB - 1)
+                    if su < 0:
+                        # ww2 candidate: whole-window two-step-gather
+                        # body — no scan, a per-tile fixed share plus
+                        # the modeled gather cost.
+                        gch = -su - _WW2_BASE
+                        kern = (ww2_cost_ns_per_px(gch, taps, channels)
+                                + _WW2_TILE_NS / (tr * TC))
+                    else:
+                        grp_ns = (_KERNEL_GROUP_NS
+                                  + _KERNEL_GROUP_NS2 * ng) * channels
+                        # Roll cost scales with the rolled window height
+                        # (2*rb sublanes; fitted at rb=40); the
+                        # distribution chain scales with the channel
+                        # count (fitted at 3).
+                        col_ns = _KERNEL_BASE_NS + n_sub * (
+                            _KERNEL_ROLL_NS * (rb / RB)
+                            + grp_ns * ng * taps
+                            + _KERNEL_COLW_NS * channels
+                        )
+                        kern = scanned * col_ns / (tr * TC)
+                        # Bigger scan budgets tax the prepass; nudge so
+                        # cb=512 only wins when it meaningfully cuts
+                        # overflow.
+                        kern *= 1.0 + 0.15 * (cbb // CB - 1)
                     # The sim over-marks overflow by design (decimated
                     # grid + derivative slack); the device prepass is the
                     # exact arbiter. Forgive sub-1% sim fractions so
@@ -750,7 +841,8 @@ def _prepass(
     in_lens, out_lens, in_h, in_w, out_h, out_w,
     rotation, offsets, interp, wrap, n_ty, n_tx, n_rp, n_cp, tile_rows,
     n_groups, margin=None, row0=0, rb: int = RB, scan_unroll: int = SCAN_UNROLL,
-    cb: int = CB, max_chunks: int = 0, return_parts: bool = False,
+    cb: int = CB, max_chunks: int = 0, ww2: bool = False,
+    return_parts: bool = False,
     rescue_channels: int = 0, rescue_budgets=None,
 ):
     """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
@@ -766,7 +858,10 @@ def _prepass(
     ``margin`` widens the windows (default: drift slack per interp).
     ``max_chunks`` > 0 additionally bounds the scan length to that many
     chunks (the whole-window kernel passes 1: its gather vregs hold one
-    chunk, and a single-chunk fit makes the shear drift 0)."""
+    chunk, and a single-chunk fit makes the shear drift 0).
+    ``ww2`` adds the two-step-gather body's exactness admission
+    (ops/pallas/ww2.py contract): consecutive monotonized x-taps and
+    per-column tap-0 spread <= 1 across each sub-tile's 8 rows."""
     if margin is None:
         margin = _margin_for(interp)
     fields = [
@@ -918,6 +1013,33 @@ def _prepass(
         ok_sub = jnp.logical_and(
             ok_sub, cmax_sub <= PAD + in_w + cb + PAD + margin
         )
+    if ww2:
+        # Two-step-gather exactness admission (ops/pallas/ww2.py): per
+        # pixel the monotonized x-taps must be CONSECUTIVE
+        # (x_key[m] == x_key[0] + m — fails at trunc-toward-zero
+        # duplicates and clamp-collapsed borders), and tap-0's
+        # per-column spread across the sub-tile's 8 output rows must be
+        # <= 1 so the in-kernel +-1 drift select is exact. Violating
+        # sub-tiles are patched/rescued like any other overflow.
+        n_taps_f = len(fields[0][0].idx)
+        n_sub_w = tile_rows // 8
+        ok_w = None
+        for o in range(len(fields)):
+            tap0 = xs_m[o * n_taps_f]
+            cons = None
+            for m in range(1, n_taps_f):
+                eq = xs_m[o * n_taps_f + m] == tap0 + m
+                cons = eq if cons is None else jnp.logical_and(cons, eq)
+            t0 = tap0.reshape(n_ty, n_sub_w, 8, n_tx, TC)
+            sp_ok = jnp.all(
+                jnp.max(t0, axis=2) - jnp.min(t0, axis=2) <= 1, axis=-1
+            )  # (n_ty, n_sub, n_tx)
+            if cons is not None:
+                sp_ok = jnp.logical_and(sp_ok, jnp.all(
+                    cons.reshape(n_ty, n_sub_w, 8, n_tx, TC), axis=(2, 4)
+                ))
+            ok_w = sp_ok if ok_w is None else jnp.logical_and(ok_w, sp_ok)
+        ok_sub = jnp.logical_and(ok_sub, ok_w)
     row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
     row_drift_sub = drift
     # Tiles with no usable sub-tile still run through the kernel (their
@@ -1016,6 +1138,7 @@ def _make_kernel(
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
     scan_unroll: int = SCAN_UNROLL, cb: int = CB,
     h_pad: int = 0, wl: int = 0, gchunks: int = 0, compact: bool = False,
+    ww2: bool = False,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -1174,6 +1297,35 @@ def _make_kernel(
             l0, la = lane_base(c_start, 0)
             mis = jnp.clip(la - l0, 0, WW - 1)
             wfull = pltpu.roll(buf[slot], WW - mis, 1)[:, :GL]
+            if ww2:
+                # ---- TWO-STEP-GATHER BODY (ops/pallas/ww2.py) ----
+                # One lane gather per (tap offset, channel) over the
+                # whole window + one sublane gather per y-tap, with the
+                # per-pixel +-1 drift select; prepass-admitted only
+                # where consecutive-tap / spread<=1 exactness holds.
+                for h in range(n_sub):
+                    sh_h = jnp.clip(shifts[h], 0, HW - 1)
+                    rolled_h = pltpu.roll(wfull, HW - sh_h, 0)
+                    y_rel = [
+                        jnp.clip(y_base[m][h] - sh_h, 0, n_groups * 8 - 1)
+                        for m in range(n_taps)
+                    ]
+                    new_acc = ww2_mod.ww2_subtile(
+                        rolled_h[:n_groups * 8, :],
+                        x_key_h[0][h],
+                        y_rel,
+                        [xw_h[m][h] for m in range(n_taps)],
+                        [yw_h[m][h] for m in range(n_taps)],
+                        [accs[c][h] for c in range(c_ch)],
+                        c_ch=c_ch, n_taps=n_taps, gchunks=gchunks,
+                        rows_w=n_groups * 8,
+                    )
+                    for c in range(c_ch):
+                        accs[c][h] = new_acc[c]
+                for c in range(c_ch):
+                    for h in range(n_sub):
+                        out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
+                return
             for h in range(n_sub):
                 sh_h = jnp.clip(shifts[h], 0, HW - 1)
                 rolled_h = pltpu.roll(wfull, HW - sh_h, 0)
@@ -1365,7 +1517,7 @@ def _remap_pallas_one(
     n_groups = min(n_groups, _max_groups(rb))
     in_h, in_w = int(src.shape[0]), int(src.shape[1])
     c_ch = int(src.shape[2])
-    scan_unroll, gchunks = _resolve_su(scan_unroll, c_ch)
+    scan_unroll, gchunks, ww2 = _resolve_su(scan_unroll, c_ch)
     if cb <= 0:
         cb = CB
     wrap = wrap_mode_for_input(in_lens)
@@ -1386,7 +1538,7 @@ def _remap_pallas_one(
             in_lens, out_lens, in_h, in_w, out_h, out_w,
             rotation, ((off_x, off_y),), interp, wrap, n_ty, n_tx, n_rp, n_cp,
             tile_rows, n_groups, row0=row0, rb=rb, scan_unroll=scan_unroll,
-            cb=cb, max_chunks=1 if gchunks else 0,
+            cb=cb, max_chunks=1 if gchunks else 0, ww2=ww2,
             rescue_channels=c_ch if rescue_cap > 0 else 0,
             rescue_budgets=(r_ng, r_g),
         )
@@ -1456,6 +1608,7 @@ def _remap_pallas_one(
         interp, wrap, has_rotation, tile_rows, n_groups, rb=rb,
         scan_unroll=scan_unroll, cb=cb,
         h_pad=int(padded.shape[0]), wl=int(padded.shape[1]), gchunks=gchunks,
+        ww2=ww2,
     )
 
     def pallas_branch(operands):
@@ -1753,13 +1906,13 @@ def make_prepass(
     else:
         w_now = in_w + 2 * PAD
     w_pad = max(_ceil_to(w_now, cb), 2 * cb)
-    su_eff, gchunks = _resolve_su(scan_unroll, channels)
+    su_eff, gchunks, ww2 = _resolve_su(scan_unroll, channels)
     return _prepass(
         in_lens, out_lens, in_h, in_w, out_h, out_w,
         rotation, _prepass_offsets(n_samples), interp, wrap, n_ty, n_tx,
         h_pad // rb - 1, w_pad // cb - 1, tile_rows, n_groups,
         row0=row0, rb=rb, scan_unroll=su_eff, cb=cb,
-        max_chunks=1 if gchunks else 0,
+        max_chunks=1 if gchunks else 0, ww2=ww2,
         rescue_channels=channels if with_rescue else 0,
         rescue_budgets=rescue_budgets,
         return_parts=return_parts,
@@ -1844,13 +1997,13 @@ def remap_pallas(
                 n_groups_eff = min(n_groups, _max_groups(rb))
             n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
             n_tx = -(-out_w // TC)
-            su_eff, gch = _resolve_su(scan_unroll, int(src.shape[2]))
+            su_eff, gch, ww2_eff = _resolve_su(scan_unroll, int(src.shape[2]))
             pre = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
                 rotation, _prepass_offsets(n_samples), interp, wrap,
                 n_ty, n_tx, h_pad // rb - 1, w_pad // cb_eff - 1, tile_rows,
                 n_groups_eff, row0=row0, rb=rb, scan_unroll=su_eff,
-                cb=cb_eff, max_chunks=1 if gch else 0,
+                cb=cb_eff, max_chunks=1 if gch else 0, ww2=ww2_eff,
                 rescue_channels=int(src.shape[2]) if rescue_cap > 0 else 0,
                 rescue_budgets=rescue_budgets,
             )
