@@ -70,6 +70,13 @@ def main() -> int:
         ("equirect->rect seam180 bl WW", EQUIRECT, RECT, "bilinear", rot180, (256, 512), (256, 256), 8, 0, 40),
         ("equisolid->equirect bl WW g2", EQUISOLID, EQUIRECT, "bilinear", None, (256, 256), (128, 256), 16, 0, 40),
         ("equirect->rect nn WW", EQUIRECT, RECT, "nearest", rot, (256, 512), (256, 256), 8, 0, 40),
+        # ww2 two-step-gather body (scan_unroll<=-17): the planner's
+        # headline/cfg1 pick — lane+sublane gather composition with the
+        # per-pixel drift select must be exact on hardware
+        ("equirect->rect bicubic WW2 T64", EQUIRECT, RECT, "bicubic", rot, (256, 512), (512, 512), 64, 1, 16),
+        ("equirect->rect bl WW2 g2 4ch", EQUIRECT, RECT, "bilinear", None, (256, 512), (256, 512), 32, 1, 40),
+        ("equirect->rect seam180 bl WW2", EQUIRECT, RECT, "bilinear", rot180, (128, 256), (256, 256), 16, 1, 16),
+        ("equirect->rect ss2 WW2 bc", EQUIRECT, RECT, "bicubic", rot, (256, 512), (256, 256), 32, 1, 16),
         # rescue pass: bad sub-tiles recomputed by the compact
         # whole-window launch (per-slot own windows) before XLA patching
         ("rect->equisolid RESCUE", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
@@ -90,13 +97,18 @@ def main() -> int:
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
     ns_for = {"equirect->rect bicubic rot 512 T16": 3,
-              "rect->equisolid RESCUE ss2": 2}
+              "rect->equisolid RESCUE ss2": 2,
+              "equirect->rect ss2 WW2 bc": 2}
     # scan_unroll override: negative = whole-window gather chunks.
     su_for = {
         "equirect->rect bicubic WW T32 ng1": -1,
         "equirect->rect seam180 bl WW": -1,
         "equisolid->equirect bl WW g2": -2,
         "equirect->rect nn WW": -1,
+        "equirect->rect bicubic WW2 T64": -17,
+        "equirect->rect bl WW2 g2 4ch": -18,
+        "equirect->rect seam180 bl WW2": -17,
+        "equirect->rect ss2 WW2 bc": -17,
     }
     # rescue_cap override: > 0 enables the pass-2 compact rescue launch.
     cap_for = {
@@ -118,7 +130,8 @@ def main() -> int:
     # channel-count overrides (4/5ch exercise the interleave-heavy
     # budgets at the measured feasibility anchors).
     ch_for = {"rect->equisolid RESCUE ng12g6 4ch": 4,
-              "rect->equisolid RESCUE 5ch": 5}
+              "rect->equisolid RESCUE 5ch": 5,
+              "equirect->rect bl WW2 g2 4ch": 4}
 
     import zlib
 
