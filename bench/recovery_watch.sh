@@ -1,22 +1,23 @@
 #!/bin/sh
-# Relay-recovery watcher + round-4 measurement battery.
+# Chip-recovery watcher + measurement battery (round 4, post-ww2).
 #
-# The axon relay (127.0.0.1:8093) is externally managed and dies for
-# hours at a time (CLAUDE.md env hazards). This script polls it and, on
-# recovery, fires the full round-4 battery in dependency order:
+# The axon backend has TWO failure modes (CLAUDE.md env hazards):
+#   1. relay down — HTTP probe returns 000;
+#   2. claim wedged — the relay still answers (405) but every device op
+#      hangs in backend init with ~0 CPU. An HTTP probe cannot see this,
+#      so the watcher's liveness check is a REAL device op + fetch with
+#      a timeout.
 #
-#   1. verify_onchip      — post-rescue hardware exactness; writes
-#                           .onchip_verified.json which GATES rescue for
-#                           every later step (ops/dispatch.py)
-#   2. bench.py           — headline (BENCH-grade JSON line)
-#   3. baseline_configs   — all five BASELINE configs, rescue enabled
-#   4. rescue_vmem_probe  — compile-feasibility grid for rescue budgets
-#   5. cfg_probe 2 / 4    — zero-bad / rescue-off / rescue-on triples at
-#                           the plan-chosen tilings (cfg2 24:3:40:32:256,
-#                           cfg4 16:1:16:32:256, budgets 12:6) for the
-#                           cost-constant fit
-#   6. fit_costs          — derive _PATCH_NS_PER_PX/_RESCUE_NS_PER_PX
-#   7. ww_sweep           — whole-window + tall-tile headline candidates
+# On recovery it runs, in order:
+#   1. verify_onchip — attests the merged ww2 + rescue kernel sources,
+#      writes the fresh .onchip_verified.json marker that lets the
+#      planner pick ww2 and the pipeline enable rescue
+#   2. bench.py — headline (the planner now picks ww2 (64,1,16,-17)
+#      with the fresh marker; compare vs the 1441 scan measurement)
+#   3. cfg_probe 3 — explicit ww2-vs-scan on the headline config
+#   4. cfg_probe 2 / 4 — zero-bad / rescue-off / rescue-on triples at
+#      the plan tilings for the cost-constant fit
+#   5. fit_costs — derive _PATCH_NS_PER_PX / _RESCUE_NS_PER_PX
 #
 # Launch detached:  nohup sh bench/recovery_watch.sh >/tmp/recovery.log 2>&1 &
 # Progress/results: bench/recovery_out/*.log, DONE marker at the end.
@@ -25,31 +26,27 @@ set -u
 cd /root/repo
 OUT=/root/repo/bench/recovery_out
 mkdir -p "$OUT"
-URL=http://127.0.0.1:8093/remote_compile
-
-probe() {
-    curl -s -o /dev/null -w "%{http_code}" --max-time 5 "$URL" 2>/dev/null
-}
 
 note() {
     echo "$(date -u +%FT%TZ) $*" >> "$OUT/watch.log"
 }
 
-note "watcher start (pid $$)"
+alive() {
+    timeout 300 python -c "
+import numpy as np, jax, jax.numpy as jnp
+x = jnp.ones((8, 128))
+print(float(np.asarray(jnp.sum(x))))" >/dev/null 2>&1
+}
+
+note "watcher start (pid $$) — device-op liveness probe"
 while :; do
-    code=$(probe)
-    note "relay=$code"
-    if [ "$code" != "000" ]; then
-        # Debounce: require a second success 20 s later so a flapping
-        # relay doesn't burn the one-shot battery on a dying backend.
-        sleep 20
-        code2=$(probe)
-        note "relay-confirm=$code2"
-        [ "$code2" != "000" ] && break
+    if alive; then
+        note "device op OK — battery begins"
+        break
     fi
-    sleep 45
+    note "device probe failed/hung"
+    sleep 120
 done
-note "relay up — battery begins"
 
 run() {
     name=$1; shift
@@ -62,14 +59,13 @@ run() {
 
 run verify  python bench/verify_onchip.py
 run bench   python bench.py
-run baseline python bench/baseline_configs.py --quick
+run cfg3ww2 python bench/cfg_probe.py 3 \
+    64:1:16:-17:256 48:1:16:32:256 64:1:16:-18:256 48:1:16:-17:256
 run cfg2fit python bench/cfg_probe.py 2 \
     24:3:40:32:256:1 24:3:40:32:256:0:0 24:3:40:32:256:0:1:12:6
 run cfg4fit python bench/cfg_probe.py 4 \
     16:1:16:32:256:1 16:1:16:32:256:0:0 16:1:16:32:256:0:1:12:6
 run fit     python bench/fit_costs.py "$OUT/cfg2fit.log" "$OUT/cfg4fit.log"
-run ww      python bench/ww_sweep.py \
-    48:1:24:-1:512 64:1:24:-1:512 48:1:24:32:512 64:1:16:32:512 48:1:40:32:256
 
 touch "$OUT/DONE"
 note "battery complete"
