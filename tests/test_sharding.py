@@ -253,3 +253,37 @@ def test_size_rescue_cap_properties():
         mesh2, in_lens=EQUIRECT, out_lens=RECT, in_h=64, in_w=128,
         rotation=None, **kw)
     assert cap_clean == 0
+
+
+def test_sharded_banded_kernel_ww2():
+    # The ww2 two-step-gather body under shard_map row bands: its
+    # prepass admission (consecutive taps + spread<=1) must compose with
+    # row0-as-axis_index banded windows and match the XLA path exactly.
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel as RK
+
+    eq = full_equirectangular()
+    outl = Rectilinear(35.0, 36.0, 36.0)
+    mesh = pmesh.make_mesh(devices=jax.devices()[:2], batch=1, rows=2)
+    src = smooth_batch(1, 64, 128, 3, seed=11)
+    kw = dict(in_lens=eq, out_lens=outl, out_h=32, out_w=128,
+              interp="bilinear", n_samples=1, tile_rows=8, n_groups=1,
+              rb=16, scan_unroll=-(RK._WW2_BASE + 1))
+    RK.set_interpret(True)
+    try:
+        got = np.asarray(
+            pbatch.sharded_remap_step(
+                pbatch.shard_batch(jnp.asarray(src), mesh), None,
+                mesh=mesh, **kw,
+            )
+        )
+    finally:
+        RK.set_interpret(False)
+    want = np.asarray(
+        remap.remap_batch_jit(
+            jnp.asarray(src), None,
+            in_lens=eq, out_lens=outl, out_h=32, out_w=128,
+            interp="bilinear", n_samples=1,
+        )
+    )
+    err = np.abs(got - want)
+    assert np.quantile(err, 0.999) < 1e-4
