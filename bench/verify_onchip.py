@@ -136,22 +136,32 @@ def main() -> int:
     import zlib
 
     failures = 0
+    ww2_failures = 0
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
         ns = ns_for.get(name, 1)
+        su = su_for.get(name, 0)
+        is_ww2 = su <= -17  # remap_kernel._WW2_BASE encoding
         # crc32, not hash(): PYTHONHASHSEED randomizes hash() per process,
         # which would verify different pixel data every battery run and
         # make a marginal failure unreproducible.
         src = smooth(ih, iw, ch_for.get(name, 3),
                      seed=zlib.crc32(name.encode()) % 1000)
         rj = None if r is None else jnp.asarray(r)
-        out = RK.remap_pallas(
-            jnp.asarray(src), rj, in_lens=il, out_lens=ol,
-            out_h=oh, out_w=ow, interp=interp, n_samples=ns, tile_rows=trows,
-            n_groups=ng, rb=rb, scan_unroll=su_for.get(name, 0),
-            rescue_cap=cap_for.get(name, 0),
-            rescue_budgets=budget_for.get(name),
-        )
-        got = np.asarray(out)
+        try:
+            out = RK.remap_pallas(
+                jnp.asarray(src), rj, in_lens=il, out_lens=ol,
+                out_h=oh, out_w=ow, interp=interp, n_samples=ns,
+                tile_rows=trows, n_groups=ng, rb=rb, scan_unroll=su,
+                rescue_cap=cap_for.get(name, 0),
+                rescue_budgets=budget_for.get(name),
+            )
+            got = np.asarray(out)
+        except Exception as e:  # compile crash must not kill the battery
+            print(f"{name:40s} EXCEPTION {type(e).__name__}: "
+                  f"{str(e)[:160]} FAIL", flush=True)
+            failures += 0 if is_ww2 else 1
+            ww2_failures += 1 if is_ww2 else 0
+            continue
         want = oracle.oracle_remap(
             src, r, in_lens=il, out_lens=ol,
             out_h=oh, out_w=ow, interp=interp, n_samples=ns,
@@ -162,20 +172,29 @@ def main() -> int:
         ok = p999 < 1e-3 and frac_bad < 1e-3
         print(f"{name:40s} p999={p999:.2e} frac>1e-3={frac_bad:.2e} "
               f"max={err.max():.2e} {'OK' if ok else 'FAIL'}", flush=True)
-        failures += 0 if ok else 1
-    print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})")
+        if not ok:
+            failures += 0 if is_ww2 else 1
+            ww2_failures += 1 if is_ww2 else 0
+    print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})",
+          f"(ww2 failures: {ww2_failures})")
     # Record the hardware-exactness evidence: a zero-failure run on a
     # real TPU writes .onchip_verified.json (keyed by a digest of the
     # kernel sources), which is what lets the pipeline/bench enable the
-    # pass-2 rescue (ops/dispatch.rescue_enabled).
+    # pass-2 rescue (ops/dispatch.rescue_enabled). ww2 failures are
+    # tracked SEPARATELY: a broken ww2 path must not withhold the rescue
+    # attestation (the planner simply keeps the scan body,
+    # dispatch.ww2_verified), and vice versa.
     platform = jax.devices()[0].platform
     if platform == "tpu":  # CPU runs are not hardware evidence
         from image_lens_reproject_tpu.ops import dispatch
 
-        dispatch.write_onchip_marker(platform, f"{len(cases)} configs", failures)
+        dispatch.write_onchip_marker(platform, f"{len(cases)} configs",
+                                     failures, ww2_failures=ww2_failures)
         if failures == 0:
-            print("onchip marker written: rescue enabled for current kernel sources")
-    return 0 if failures == 0 else 1
+            print("onchip marker written: rescue enabled for current "
+                  "kernel sources"
+                  + ("" if ww2_failures else "; ww2 attested"))
+    return 0 if failures == 0 and ww2_failures == 0 else 1
 
 
 if __name__ == "__main__":

@@ -73,11 +73,15 @@ def kernel_source_digest() -> str:
     return _digest_cache
 
 
-def write_onchip_marker(platform: str, battery: str, failures: int) -> None:
+def write_onchip_marker(platform: str, battery: str, failures: int,
+                        ww2_failures: int = 0) -> None:
     """Record an on-chip verification result (bench/verify_onchip.py).
 
     Only a zero-failure run on a real TPU produces a marker that
-    ``rescue_verified`` accepts.
+    ``rescue_verified`` accepts; ``ww2_failures`` is tracked separately
+    so a broken ww2 body cannot withhold the rescue attestation (and
+    vice versa — ``ww2_verified`` requires BOTH counts clean, since the
+    battery's ww2 cases assume the shared prepass/patch machinery).
     """
     import time
 
@@ -86,20 +90,38 @@ def write_onchip_marker(platform: str, battery: str, failures: int) -> None:
         "platform": platform,
         "battery": battery,
         "failures": failures,
+        "ww2_failures": ww2_failures,
         "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }, indent=1) + "\n")
 
 
-def rescue_verified() -> bool:
-    """True iff the current kernel sources passed verify_onchip on a TPU."""
+def _marker_record():
     try:
         rec = json.loads(_MARKER_PATH.read_text())
     except (OSError, ValueError):
-        return False
+        return None
+    if rec.get("platform") != "tpu" or rec.get("digest") != kernel_source_digest():
+        return None
+    return rec
+
+
+def rescue_verified() -> bool:
+    """True iff the current kernel sources passed verify_onchip on a TPU."""
+    rec = _marker_record()
+    return rec is not None and rec.get("failures") == 0
+
+
+def ww2_verified() -> bool:
+    """True iff the two-step-gather body also verified on hardware.
+
+    Gates suggest_tiling's ww2 candidates; markers written before the
+    ww2 split (no ``ww2_failures`` key) do not attest it.
+    """
+    rec = _marker_record()
     return (
-        rec.get("failures") == 0
-        and rec.get("platform") == "tpu"
-        and rec.get("digest") == kernel_source_digest()
+        rec is not None
+        and rec.get("failures") == 0
+        and rec.get("ww2_failures") == 0
     )
 
 

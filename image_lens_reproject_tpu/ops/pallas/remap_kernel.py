@@ -431,12 +431,13 @@ def suggest_tiling(
 
         # The two-step-gather whole-window body is admitted as a
         # candidate only with on-chip verification evidence for the
-        # current kernel sources (the same marker that gates the rescue
-        # pass): a stale marker falls back to the scan body, never to an
-        # unattested fast path.
+        # current kernel sources INCLUDING the battery's ww2 cases
+        # (dispatch.ww2_verified; tracked separately from the rescue
+        # attestation): a stale or ww2-failing marker falls back to the
+        # scan body, never to an unattested fast path.
         from .. import dispatch as _dispatch
 
-        ww2_allowed = _dispatch.rescue_verified()
+        ww2_allowed = _dispatch.ww2_verified()
 
         # Flattened per-sample fields for the sheared-prepass simulation.
         tylo_s = tylo_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)

@@ -100,3 +100,31 @@ def test_stale_digest_does_not_enable(marker):
 def test_corrupt_marker_is_disabled(marker):
     marker.write_text("{not json")
     assert not dispatch.rescue_verified()
+
+
+def test_ww2_gate_is_independent_of_rescue(marker):
+    # ww2 failures must not withhold the rescue attestation, and an
+    # ww2-failing marker must not admit ww2 planner candidates.
+    dispatch.write_onchip_marker("tpu", "31 configs", failures=0,
+                                 ww2_failures=2)
+    assert dispatch.rescue_verified()
+    assert not dispatch.ww2_verified()
+    dispatch.write_onchip_marker("tpu", "31 configs", failures=0,
+                                 ww2_failures=0)
+    assert dispatch.ww2_verified()
+    # a rescue failure blocks ww2 too (shared prepass/patch machinery)
+    dispatch.write_onchip_marker("tpu", "31 configs", failures=1,
+                                 ww2_failures=0)
+    assert not dispatch.ww2_verified()
+
+
+def test_pre_split_marker_does_not_attest_ww2(marker):
+    # markers written before the ww2_failures split carry no ww2 count;
+    # they keep enabling rescue but never ww2
+    import json as _json
+    dispatch.write_onchip_marker("tpu", "27 configs", failures=0)
+    rec = _json.loads(marker.read_text())
+    del rec["ww2_failures"]
+    marker.write_text(_json.dumps(rec))
+    assert dispatch.rescue_verified()
+    assert not dispatch.ww2_verified()
