@@ -127,11 +127,21 @@ def ww2_subtile(
                 [sub_gather(lks[k][c]) for c in range(c_ch)]
                 for k in range(n_taps + 2)
             ]
-        for m in range(n_taps):
-            w = wx[m] * wy[n]
+        # Weight-side drift selection: the gathered column gk[k] holds
+        # tap offset k0 = k - 1, which is the pixel's tap m = k0 - d_n
+        # (zero weight when m falls outside [0, taps)). Selecting on the
+        # WEIGHT instead of the value shares the 2-deep chain across all
+        # channels, and keeps the accumulation bitwise identical to the
+        # value-side form: k = m + d_n is monotone in m per pixel, so
+        # the same products are added in the same order (the out-of-
+        # range slots add an exact +0).
+        zero = jnp.zeros_like(wy[n])
+        wxp = [zero] + list(wx) + [zero, zero]  # wxp[m + 1] = wx[m]
+        for k in range(n_taps + 2):
+            wk = jnp.where(
+                dn == -1, wxp[k + 1],
+                jnp.where(dn == 1, wxp[k - 1] if k >= 1 else zero, wxp[k]))
+            wkn = wk * wy[n]
             for c in range(c_ch):
-                g = jnp.where(
-                    dn == -1, gk[m][c],
-                    jnp.where(dn == 1, gk[m + 2][c], gk[m + 1][c]))
-                out[c] = out[c] + g * w
+                out[c] = out[c] + gk[k][c] * wkn
     return out
