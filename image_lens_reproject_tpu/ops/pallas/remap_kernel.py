@@ -178,14 +178,26 @@ def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
     The compact whole-window launch runs ng*8 gather rows per 8x128
     sub-tile; each row costs the mask chain (~taps*3), g chunk
     broadcasts, and channels*taps gathers with (g-1) chained selects.
-    The ~1.3 ns/vector-op scale is provisional: (8, 6) at C=3 bilinear
-    yields 7.2 ns/px, the same magnitude as (slightly above) the 6.0
-    ns/px _RESCUE_NS_PER_PX op-count estimate. Re-fit BOTH from
-    bench/cfg_probe.py rescue runs (bench/fit_costs.py derives them).
-    Ranking-only: exactness is prepass-guarded.
+    The 2.66 ns/vector-op scale is FITTED to the round-4 on-chip fit
+    triples (`git 878b492` bench/recovery_out/fit.log): after removing
+    the per-launch fixed cost _RESCUE_LAUNCH_NS, cfg2 (12,6,C3,bl)
+    measures 22.2 ns/px (model 8.34 ops-units) and cfg4 (12,6,C4,bl)
+    27.7 (model 10.41) — one scale fits both to <1%. Total measured
+    cost incl. the launch share was 23.74 / 34.08 ns/px. Ranking-only:
+    exactness is prepass-guarded.
     """
     ops_per_row = channels * taps * (2 * g - 1) + taps * 3 + g + 11
-    return ng * 8 * ops_per_row / 1024.0 * 1.3
+    return ng * 8 * ops_per_row / 1024.0 * 2.66
+
+
+# Fixed per-launch cost of the pass-2 rescue (prepass slot compaction,
+# scatter landing, launch overhead) — fitted jointly with the 2.66 op
+# scale from the cfg2/cfg4 on-chip fit triples (`git 878b492`): the
+# per-rescued-pixel cost rises 23.74 -> 34.08 ns as the rescued set
+# shrinks 1.81M -> 0.44M px at a 1.247x op ratio, which a per-pixel
+# model alone cannot produce. Both budget choosers subtract this from
+# the modeled saving, so small rescues are correctly unprofitable.
+_RESCUE_LAUNCH_NS = 2.8e6
 
 
 RESCUE_RB = _rescue_rb(RESCUE_NG)  # default-budget block half-height (40)
@@ -302,11 +314,13 @@ _TILING_CANDIDATES = tuple(
 # sub-tile) distribution chain (slice + broadcast + weight FMA), which
 # scales with the channel count; taps and rolls are comparatively cheap.
 # Ranking-only; the runtime prepass guards exactness.
-_PATCH_NS_PER_PX = 27.8   # XLA-gather sampling of overflow tiles (ns/px)
-_RESCUE_NS_PER_PX = 6.0   # legacy/fallback pass-2 cost; ranking now uses
-                          # rescue_cost_ns_per_px(ng, g, C, taps) per
-                          # RESCUE_LADDER entry (provisional op-count
-                          # model; re-fit from cfg_probe rescue runs)
+_PATCH_NS_PER_PX = 28.7   # XLA-gather sampling of overflow tiles (ns/px;
+                          # measured 28.81 cfg2 / 28.64 cfg4, r4 battery
+                          # `git 878b492` fit.log)
+_RESCUE_NS_PER_PX = 23.7  # inert placeholder cost reported when no rescue
+                          # entry applies (f_resc=0 rides with it); ranking
+                          # uses rescue_cost_ns_per_px(ng, g, C, taps) per
+                          # RESCUE_LADDER entry (fitted, see its docstring)
 _KERNEL_BASE_NS = 14.0    # per-column loop/fetch share
 _KERNEL_ROLL_NS = 1.8     # per-sub-tile roll per column (x rb/40)
 _KERNEL_COLW_NS = 5.77    # per-sub-tile per-CHANNEL distribution chain
@@ -316,7 +330,9 @@ _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 _DEBUG_COSTS = None       # set to a list to record every candidate's
                           # (cost, tr, ng, rb, su, cb, f_patch, f_resc)
                           # from the next suggest_tiling call (fit aid)
-_WW2_TILE_NS = 1500.0     # per-tile fixed share (DMA issue + rolls), ns
+_WW2_TILE_NS = 1450.0     # per-tile fixed share (DMA issue + rolls), ns —
+                          # solved exactly from the cfg3 ww2 tr=48/64 pair
+                          # (2010.7 / 2281.2 Mpix/s, `git 878b492`)
 
 
 def ww2_cost_ns_per_px(g: int, taps: int, c: int) -> float:
@@ -326,14 +342,15 @@ def ww2_cost_ns_per_px(g: int, taps: int, c: int) -> float:
     gathers (chunk chains add 2 ops each past g=1), taps*(C*(taps+2)+1)
     sublane gathers, 2 selects + 2 FMAs per (c, n, m). Weights: lane
     gathers ~5x an average vector op, sublane ~1.5x (op_model.py /
-    gather_cost_probe.py), 0.4 ns per average op (the scan body's fitted
-    implied cost). PROVISIONAL — re-fit from on-chip ww_sweep runs.
-    Ranking-only: the prepass admission guards exactness.
+    gather_cost_probe.py), 0.64 ns per average op — FITTED with
+    _WW2_TILE_NS from the cfg3 ww2 tr=48/64 on-chip pair
+    (`git 878b492`): body 0.261 ns/px at (g=1, bicubic, C=3), model
+    420 op-units. Ranking-only: the prepass admission guards exactness.
     """
     lane = c * (taps + 2) * (1 + 2 * (g - 1))
     sub = taps * (c * (taps + 2) + 1)
     rest = 4 * taps * taps * c + 24
-    return (5.0 * lane + 1.5 * sub + rest) / 1024.0 * 0.4
+    return (5.0 * lane + 1.5 * sub + rest) / 1024.0 * 0.64
 
 
 def suggest_tiling(
@@ -428,6 +445,10 @@ def suggest_tiling(
 
         margin = _margin_for(interp)
         slack = taps + 2 * margin + 2
+        # Per-launch rescue fixed cost, expressed per frame pixel so the
+        # sim's fraction-space savings can subtract it (a rescue saving
+        # that does not clear the launch overhead is a net loss).
+        launch_px = _RESCUE_LAUNCH_NS / float(max(1, out_h * out_w))
 
         # The two-step-gather whole-window body is admitted as a
         # candidate only with on-chip verification evidence for the
@@ -583,7 +604,7 @@ def suggest_tiling(
                     best_sav = 0.0
                     for fit, cost_r in resc_entries:
                         fr = float((sub_bad_full & fit).mean())
-                        sav = fr * (_PATCH_NS_PER_PX - cost_r)
+                        sav = fr * (_PATCH_NS_PER_PX - cost_r) - launch_px
                         if sav > best_sav:
                             best_sav, f_resc, resc_cost = sav, fr, cost_r
                 f_patch = float(sub_bad_full.mean()) - f_resc
@@ -628,7 +649,8 @@ def suggest_tiling(
                         best_sav = 0.0
                         for fit, cost_r in resc_entries:
                             fr = float((sub_bad_full & fit).mean())
-                            sav = fr * (_PATCH_NS_PER_PX - cost_r)
+                            sav = (fr * (_PATCH_NS_PER_PX - cost_r)
+                                   - launch_px)
                             if sav > best_sav:
                                 best_sav, f_resc, resc_cost = sav, fr, cost_r
                     f_patch = float(sub_bad_full.mean()) - f_resc
@@ -694,6 +716,7 @@ def suggest_tiling(
                     cost = (
                         f_patch_eff * _PATCH_NS_PER_PX
                         + f_resc * resc_cost
+                        + (launch_px if f_resc > 0 else 0.0)
                         + max(0.0, 1.0 - f_patch_eff - f_resc) * kern
                     )
                     if _DEBUG_COSTS is not None:

@@ -306,8 +306,12 @@ def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_
                          rescue_budgets=(ng, g), **plan_kw)
         scalars, bad, rescue = plan
         n_adm = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
-        saving = n_adm * (patch_ns - cost)
-        if best is None or saving > best[0]:
+        # Net saving in ns: admitted pixels times the per-pixel margin,
+        # minus the fixed per-launch cost (fitted, see remap_kernel
+        # _RESCUE_LAUNCH_NS) — a small rescue that does not clear the
+        # launch overhead is a measured net loss (cfg4, `git 878b492`).
+        saving = n_adm * 1024 * (patch_ns - cost) - RK._RESCUE_LAUNCH_NS
+        if (best is None or saving > best[0]) and saving > 0:
             best = (saving, plan, n_adm, (ng, g))
     if best is None:
         # No ladder entry beats the patch for this (channels, taps) —

@@ -446,12 +446,17 @@ class TestKernelGolden:
             **kw))
         assert np.quantile(np.abs(got - oracle), 0.999) < 1e-4
 
-    def test_choose_rescue_budgets_ladder(self):
+    def test_choose_rescue_budgets_ladder(self, monkeypatch):
         # The chooser returns a ladder entry; on the polar-arc config the
         # span distribution should pull it above the default row budget.
+        # Launch-cost pinned to 0: this pins LADDER plumbing on a small
+        # test frame; the fitted 2.8 ms launch cost would (correctly)
+        # reject any rescue at this frame size — economics are pinned
+        # separately in test_rescue_launch_cost_economics.
         from image_lens_reproject_tpu.ops import remap_fused
         from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
 
+        monkeypatch.setattr(RKm, "_RESCUE_LAUNCH_NS", 0.0)
         budgets = remap_fused.choose_rescue_budgets(
             jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0)),
             in_lens=EQUISOLID, out_lens=EQUIRECT, in_h=512, in_w=512,
@@ -461,12 +466,15 @@ class TestKernelGolden:
         assert budgets in RKm.RESCUE_LADDER
         assert budgets[0] >= RKm.RESCUE_NG
 
-    def test_rescue_feasibility_gate(self):
+    def test_rescue_feasibility_gate(self, monkeypatch):
         # Measured scoped-VMEM anchors (bench/rescue_vmem_probe.py, v5e):
         # the planner must never pick budgets whose compact launch
-        # cannot compile on hardware.
+        # cannot compile on hardware. (Launch cost pinned to 0 — small
+        # test frames; see test_rescue_launch_cost_economics.)
         from image_lens_reproject_tpu.ops import remap_fused
         from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
+
+        monkeypatch.setattr(RKm, "_RESCUE_LAUNCH_NS", 0.0)
 
         # anchors and dominated combos compile
         assert RKm.rescue_feasible(8, 6, 3, 2)
@@ -501,3 +509,30 @@ class TestKernelGolden:
         )
         assert rescue is not None and cap > 0
         assert RKm.rescue_feasible(budgets[0], budgets[1], 4, 2)
+
+    def test_rescue_launch_cost_economics(self, monkeypatch):
+        # The fitted per-launch cost (r4 on-chip fit triples, git
+        # 878b492: the per-rescued-px cost rises 23.7 -> 34.1 ns as the
+        # rescued set shrinks 1.81M -> 0.44M px) must make SMALL rescues
+        # unprofitable: the same small-frame config that rescues with the
+        # launch cost pinned to 0 must rescue nothing under the fitted
+        # constant — mirroring the measured cfg4 net loss (83.7 -> 79.9
+        # Mpix/s with rescue on).
+        from image_lens_reproject_tpu.ops import remap_fused
+        from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
+
+        kw = dict(
+            in_lens=Rectilinear(50.0, 36.0, 36.0), out_lens=EQUISOLID,
+            in_h=256, in_w=256, out_h=256, out_w=256, interp="bilinear",
+            n_samples=1, tile_rows=24, n_groups=1, rb=16,
+            scan_unroll=32, cb=256, channels=4,
+        )
+        monkeypatch.setattr(RKm, "_RESCUE_LAUNCH_NS", 0.0)
+        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+            None, use_rescue=True, **kw)
+        assert rescue is not None and cap > 0  # rescuable work exists
+        monkeypatch.undo()
+        assert RKm._RESCUE_LAUNCH_NS > 0
+        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+            None, use_rescue=True, **kw)
+        assert rescue is None and cap == 0 and budgets is None
