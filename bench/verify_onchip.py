@@ -93,6 +93,16 @@ def main() -> int:
         ("rect->equisolid RESCUE ng12g6 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
         ("rect->equisolid RESCUE 5ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (512, 512), (512, 512), 24, 1, 16),
         ("rect->equisolid RESCUE ng16g8 nn", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "nearest", None, (512, 512), (512, 512), 24, 1, 16),
+        # tr=128 tall tiles (16 unrolled sub-tiles, SC=40 scalar layout):
+        # compile feasibility AND exactness must be proven on hardware
+        # before suggest_tiling admits _T128_CANDIDATES
+        # (dispatch.t128_verified). Cases cover the scan body, the ww2
+        # body (the planner's actual tr=128 shape), a 4-channel ww2, and
+        # the non-divisible out_h padding path.
+        ("equirect->rect bicubic T128 scan", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 128, 1, 32),
+        ("equirect->rect bicubic WW2 T128", EQUIRECT, RECT, "bicubic", rot, (512, 512), (512, 512), 128, 1, 32),
+        ("equirect->rect bl WW2 T128 4ch", EQUIRECT, RECT, "bilinear", None, (256, 512), (256, 512), 128, 1, 24),
+        ("equirect->rect bc WW2 T128 pad200", EQUIRECT, RECT, "bicubic", rot, (256, 512), (200, 256), 128, 1, 24),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -109,6 +119,9 @@ def main() -> int:
         "equirect->rect bl WW2 g2 4ch": -18,
         "equirect->rect seam180 bl WW2": -17,
         "equirect->rect ss2 WW2 bc": -17,
+        "equirect->rect bicubic WW2 T128": -17,
+        "equirect->rect bl WW2 T128 4ch": -18,
+        "equirect->rect bc WW2 T128 pad200": -17,
     }
     # rescue_cap override: > 0 enables the pass-2 compact rescue launch.
     cap_for = {
@@ -131,16 +144,31 @@ def main() -> int:
     # budgets at the measured feasibility anchors).
     ch_for = {"rect->equisolid RESCUE ng12g6 4ch": 4,
               "rect->equisolid RESCUE 5ch": 5,
-              "equirect->rect bl WW2 g2 4ch": 4}
+              "equirect->rect bl WW2 g2 4ch": 4,
+              "equirect->rect bl WW2 T128 4ch": 4}
 
     import zlib
 
     failures = 0
     ww2_failures = 0
+    t128_failures = 0
+
+    def bucket(is_ww2, is_t128):
+        # most-specific feature owns the failure: a tr=128 failure must
+        # not withhold the ww2/rescue attestations (and vice versa)
+        nonlocal failures, ww2_failures, t128_failures
+        if is_t128:
+            t128_failures += 1
+        elif is_ww2:
+            ww2_failures += 1
+        else:
+            failures += 1
+
     for name, il, ol, interp, r, (ih, iw), (oh, ow), trows, ng, rb in cases:
         ns = ns_for.get(name, 1)
         su = su_for.get(name, 0)
         is_ww2 = su <= -17  # remap_kernel._WW2_BASE encoding
+        is_t128 = trows >= 128
         # crc32, not hash(): PYTHONHASHSEED randomizes hash() per process,
         # which would verify different pixel data every battery run and
         # make a marginal failure unreproducible.
@@ -159,8 +187,7 @@ def main() -> int:
         except Exception as e:  # compile crash must not kill the battery
             print(f"{name:40s} EXCEPTION {type(e).__name__}: "
                   f"{str(e)[:160]} FAIL", flush=True)
-            failures += 0 if is_ww2 else 1
-            ww2_failures += 1 if is_ww2 else 0
+            bucket(is_ww2, is_t128)
             continue
         want = oracle.oracle_remap(
             src, r, in_lens=il, out_lens=ol,
@@ -173,10 +200,9 @@ def main() -> int:
         print(f"{name:40s} p999={p999:.2e} frac>1e-3={frac_bad:.2e} "
               f"max={err.max():.2e} {'OK' if ok else 'FAIL'}", flush=True)
         if not ok:
-            failures += 0 if is_ww2 else 1
-            ww2_failures += 1 if is_ww2 else 0
+            bucket(is_ww2, is_t128)
     print("RESULT:", "PASS" if failures == 0 else f"FAIL ({failures})",
-          f"(ww2 failures: {ww2_failures})")
+          f"(ww2 failures: {ww2_failures}, t128 failures: {t128_failures})")
     # Record the hardware-exactness evidence: a zero-failure run on a
     # real TPU writes .onchip_verified.json (keyed by a digest of the
     # kernel sources), which is what lets the pipeline/bench enable the
@@ -189,12 +215,14 @@ def main() -> int:
         from image_lens_reproject_tpu.ops import dispatch
 
         dispatch.write_onchip_marker(platform, f"{len(cases)} configs",
-                                     failures, ww2_failures=ww2_failures)
+                                     failures, ww2_failures=ww2_failures,
+                                     t128_failures=t128_failures)
         if failures == 0:
             print("onchip marker written: rescue enabled for current "
                   "kernel sources"
-                  + ("" if ww2_failures else "; ww2 attested"))
-    return 0 if failures == 0 and ww2_failures == 0 else 1
+                  + ("" if ww2_failures else "; ww2 attested")
+                  + ("" if t128_failures else "; t128 attested"))
+    return 0 if failures == 0 and ww2_failures == 0 and t128_failures == 0 else 1
 
 
 if __name__ == "__main__":

@@ -74,7 +74,8 @@ def kernel_source_digest() -> str:
 
 
 def write_onchip_marker(platform: str, battery: str, failures: int,
-                        ww2_failures: int = 0) -> None:
+                        ww2_failures: int = 0,
+                        t128_failures: int = -1) -> None:
     """Record an on-chip verification result (bench/verify_onchip.py).
 
     Only a zero-failure run on a real TPU produces a marker that
@@ -82,6 +83,9 @@ def write_onchip_marker(platform: str, battery: str, failures: int,
     so a broken ww2 body cannot withhold the rescue attestation (and
     vice versa — ``ww2_verified`` requires BOTH counts clean, since the
     battery's ww2 cases assume the shared prepass/patch machinery).
+    ``t128_failures`` attests the tr=128 tall-tile cases the same way
+    (-1 = not exercised: batteries predating the tr=128 cases never
+    attest them).
     """
     import time
 
@@ -91,6 +95,7 @@ def write_onchip_marker(platform: str, battery: str, failures: int,
         "battery": battery,
         "failures": failures,
         "ww2_failures": ww2_failures,
+        "t128_failures": t128_failures,
         "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }, indent=1) + "\n")
 
@@ -122,6 +127,25 @@ def ww2_verified() -> bool:
         rec is not None
         and rec.get("failures") == 0
         and rec.get("ww2_failures") == 0
+    )
+
+
+def t128_verified() -> bool:
+    """True iff the tr=128 tall-tile cases verified on hardware.
+
+    Gates suggest_tiling's _T128_CANDIDATES: tr=128 means 16 unrolled
+    sub-tiles per tile body and the SC=40 scalar layout — exactly the
+    Mosaic compile-feasibility territory (scoped-VMEM stack) where an
+    unprobed pick could hard-fail or miscompile, so tr=128 is only
+    admitted after the battery's T128 cases pass on a real chip.
+    Markers without the ``t128_failures`` key (or with -1, meaning the
+    battery did not exercise those cases) do not attest it.
+    """
+    rec = _marker_record()
+    return (
+        rec is not None
+        and rec.get("failures") == 0
+        and rec.get("t128_failures", -1) == 0
     )
 
 

@@ -72,7 +72,8 @@ CB = 256    # source col-window quantization step; a tile window spans 2*CB cols
 PAD = 4     # source padding (covers bicubic taps at clamped borders)
 MARGIN = 1  # window slack for prepass-vs-kernel transcendental ulp drift (+-1 tap)
 SCAN_UNROLL = 32  # source columns per scan step (~=p99 tile window: most tiles scan once)
-SC = 24     # per-tile scalar slots (6 fixed + 2 per 8-row sub-tile: tile_rows<=64)
+SC = 40     # per-tile scalar slots (6 fixed + 2 per 8-row sub-tile: tile_rows<=128;
+            # 4K grid at SC=40 is ~82 KB of SMEM scalars, well under the 1 MB cap)
 
 # WHOLE-WINDOW kernel mode: ``scan_unroll = -g`` (g gather chunks) fetches
 # each tile's ENTIRE column window into g 128-lane vregs and distributes
@@ -206,7 +207,7 @@ RESCUE_RB = _rescue_rb(RESCUE_NG)  # default-budget block half-height (40)
 # roll shift, so ``n_groups`` bounds the *sub-tile* row span — covering
 # spans up to groups*8 - 2*MARGIN - taps source rows). suggest_tiling
 # picks more groups and/or a taller rb when spans demand it.
-_GROUPS_FOR_TILE_ROWS = {8: 2, 16: 2, 24: 2, 32: 2, 48: 2, 64: 2}
+_GROUPS_FOR_TILE_ROWS = {8: 2, 16: 2, 24: 2, 32: 2, 48: 2, 64: 2, 128: 2}
 
 
 def _max_groups(rb: int) -> int:
@@ -306,6 +307,15 @@ _TILING_CANDIDATES = tuple(
     # whole-tile design (few sub-tiles, many groups).
     (8, 10, 80), (16, 10, 80), (8, 20, 160), (16, 20, 160),
 )
+
+# tr=128 candidates (ng=1 only): halves the ww2 per-tile fixed share
+# (the fitted 1450 ns is 40% of the tr=64 headline bill) at 16 unrolled
+# sub-tiles per tile body. Hardware-gated separately (_T128_CANDIDATES
+# join the sweep only when dispatch.t128_verified() — the unroll depth
+# and SC=40 scalar layout are exactly the compile-feasibility territory
+# where Mosaic scoped-VMEM blowups live, so an unprobed tr=128 pick
+# must be impossible).
+_T128_CANDIDATES = ((128, 1, 24), (128, 1, 32), (128, 1, 40))
 
 # Cost-model constants (ns per scanned column unless noted; fitted to v5e
 # measurements of the DMA-fetch kernel at C=3 — headline 1348 Mpix/s at
@@ -459,6 +469,7 @@ def suggest_tiling(
         from .. import dispatch as _dispatch
 
         ww2_allowed = _dispatch.ww2_verified()
+        t128_allowed = _dispatch.t128_verified()
 
         # Flattened per-sample fields for the sheared-prepass simulation.
         tylo_s = tylo_g.transpose(0, 2, 1, 3)  # (nb, nc, bnd, cchunk)
@@ -666,7 +677,10 @@ def suggest_tiling(
         # the overflow fraction just under the kernel's 60% runtime patch
         # limit (sampled spans are noisy).
         best = None
-        for tr, ng, rb in _TILING_CANDIDATES:
+        cands = _TILING_CANDIDATES
+        if t128_allowed:
+            cands = cands + _T128_CANDIDATES
+        for tr, ng, rb in cands:
             if ng > _max_groups(rb):
                 continue
             # cb only bounds column-window ADMISSION under the DMA fetch

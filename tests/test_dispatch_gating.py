@@ -118,6 +118,51 @@ def test_ww2_gate_is_independent_of_rescue(marker):
     assert not dispatch.ww2_verified()
 
 
+def test_t128_gate_requires_explicit_attestation(marker):
+    # tr=128 tall tiles gate separately: only a battery that EXERCISED
+    # the T128 cases (t128_failures == 0, not the -1 "not exercised"
+    # default) attests them; a T128 failure must not withhold the
+    # rescue/ww2 attestations.
+    dispatch.write_onchip_marker("tpu", "33 configs", failures=0,
+                                 ww2_failures=0)  # t128 not exercised
+    assert dispatch.rescue_verified() and dispatch.ww2_verified()
+    assert not dispatch.t128_verified()
+    dispatch.write_onchip_marker("tpu", "33 configs", failures=0,
+                                 ww2_failures=0, t128_failures=3)
+    assert dispatch.rescue_verified() and dispatch.ww2_verified()
+    assert not dispatch.t128_verified()
+    dispatch.write_onchip_marker("tpu", "33 configs", failures=0,
+                                 ww2_failures=0, t128_failures=0)
+    assert dispatch.t128_verified()
+    # a base failure blocks t128 too (shared machinery)
+    dispatch.write_onchip_marker("tpu", "33 configs", failures=1,
+                                 ww2_failures=0, t128_failures=0)
+    assert not dispatch.t128_verified()
+
+
+def test_t128_candidates_gated_in_planner(marker, monkeypatch):
+    # suggest_tiling must never emit a tr=128 pick without the
+    # hardware attestation (Mosaic compile feasibility is unprobed
+    # territory at 16 unrolled sub-tiles), and must consider them with
+    # it. The modeled ww2 per-tile share (fitted 1450 ns) makes tr=128
+    # the argmin on the smooth headline config once admitted.
+    from image_lens_reproject_tpu.models.lens import (
+        Rectilinear, full_equirectangular)
+    from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
+    from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
+
+    rot = rotation_matrix_degrees(20.0, 5.0, 0.0)
+    args = (full_equirectangular(), Rectilinear(35.0, 36.0, 36.0 * 2160 / 3840),
+            1920, 3840, 2160, 3840, rot, "bicubic")
+    monkeypatch.setattr(dispatch, "ww2_verified", lambda: True)
+    monkeypatch.setattr(dispatch, "t128_verified", lambda: False)
+    tr, *_ = RKm.suggest_tiling(*args)
+    assert tr <= 64
+    monkeypatch.setattr(dispatch, "t128_verified", lambda: True)
+    tr, ng, rb, su, cb = RKm.suggest_tiling(*args)
+    assert (tr, ng) == (128, 1) and su <= -17
+
+
 def test_pre_split_marker_does_not_attest_ww2(marker):
     # markers written before the ww2_failures split carry no ww2 count;
     # they keep enabling rescue but never ww2

@@ -510,6 +510,44 @@ class TestKernelGolden:
         assert rescue is not None and cap > 0
         assert RKm.rescue_feasible(budgets[0], budgets[1], 4, 2)
 
+    def test_t128_nearest_ww2_parity(self):
+        # tr=128 tall tiles: 16 unrolled sub-tiles + the SC=40 scalar
+        # layout. Nearest keeps the interpret-mode graph small enough
+        # for the default suite (~30 s); the bicubic/bilinear tr=128
+        # variants run under ILR_SLOW_TESTS and in the on-chip battery
+        # (bench/verify_onchip.py T128 cases, which also gate the
+        # planner's _T128_CANDIDATES via dispatch.t128_verified).
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(256, 512, 3, seed=5))
+        rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, 0.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=Rectilinear(35.0, 36.0, 18.0),
+                  out_h=128, out_w=256, interp="nearest", n_samples=1)
+        want = np.asarray(remap.remap_image(src, rot, **kw))
+        got = np.asarray(remap_fused.remap_tonemap(
+            src, rot, tile_rows=128, n_groups=1, rb=32, scan_unroll=-17,
+            cb=256, **kw))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("ILR_SLOW_TESTS"),
+        reason="~5 min of interpret-mode compiles; set ILR_SLOW_TESTS=1 "
+               "(exactness on hardware is covered by the on-chip battery)")
+    def test_t128_bicubic_parity_slow(self):
+        from image_lens_reproject_tpu.ops import remap_fused
+
+        src = jnp.asarray(smooth(256, 512, 3, seed=6))
+        rot = jnp.asarray(rotation_matrix_degrees(20.0, 5.0, 0.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=Rectilinear(35.0, 36.0, 18.0),
+                  out_h=128, out_w=256, interp="bicubic", n_samples=1)
+        want = np.asarray(remap.remap_image(src, rot, **kw))
+        for su in (-17, 32):
+            got = np.asarray(remap_fused.remap_tonemap(
+                src, rot, tile_rows=128, n_groups=1, rb=32, scan_unroll=su,
+                cb=256, **kw))
+            err = np.abs(got - want)
+            assert np.quantile(err, 0.999) < 1e-4
+
     def test_rescue_launch_cost_economics(self, monkeypatch):
         # The fitted per-launch cost (r4 on-chip fit triples, git
         # 878b492: the per-rescued-px cost rises 23.7 -> 34.1 ns as the
