@@ -882,6 +882,7 @@ def _prepass(
     cb: int = CB, max_chunks: int = 0, ww2: bool = False,
     return_parts: bool = False,
     rescue_channels: int = 0, rescue_budgets=None,
+    pixel_valid: bool = False,
 ):
     """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
 
@@ -1080,6 +1081,65 @@ def _prepass(
         ok_sub = jnp.logical_and(ok_sub, ok_w)
     row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
     row_drift_sub = drift
+
+    vpx = None
+    if pixel_valid and not ww2 and max_chunks == 0:
+        # PER-PIXEL kernel exactness (scan body only): a pixel inside a
+        # BAD sub-tile is still computed exactly by the kernel iff every
+        # condition the sub-tile admission checks holds for ITS OWN taps
+        # under the kernel's EFFECTIVE per-step shift
+        # (clip(shift0 + step*drift, 0, 2*rb-1) — the clip is what the
+        # kernel applies, so the model below uses the clipped value).
+        # The pixel-granular patch then resamples only ~vpx pixels of
+        # bad sub-tiles instead of whole 8x128 blocks. Direction of
+        # error is safe by construction: marking a good pixel invalid
+        # costs one extra patched pixel; every condition here is the
+        # same-or-stricter per-pixel form of the sub-tile admission
+        # (same margins), and tests pin vpx-patched outputs against the
+        # XLA path pixel-exactly.
+        def subpx(a):  # (n_ty, n_sub, n_tx) -> per-pixel
+            return jnp.repeat(jnp.repeat(a, 8, axis=1).reshape(
+                n_ty * tile_rows, n_tx), TC, axis=1)
+
+        def tilepx(a):  # (n_ty, n_tx) -> per-pixel
+            return jnp.repeat(jnp.repeat(a, tile_rows, axis=0), TC, axis=1)
+
+        c_start_p = tilepx(c_start)
+        n_scan_p = tilepx(n_scan)
+        r_base_p = tilepx(r_base)
+        shift0_p = subpx(row_shift_sub)
+        drift_p = subpx(drift)
+        # A: every x-tap inside the shared scan range.
+        ok_px = jnp.logical_and(
+            kmin_px - margin >= c_start_p,
+            kmax_px + margin + 1 <= c_start_p + n_scan_p,
+        )
+        # B: every y-tap inside the DMA row block (the roll is cyclic
+        # over 2*rb rows — out-of-block taps gather wrapped garbage).
+        ok_px &= jnp.logical_and(
+            ymin_px - margin >= r_base_p,
+            ymax_px + margin + 1 <= r_base_p + 2 * rb,
+        )
+        # C: at each scan step touching the pixel's taps (taps span <= 2
+        # adjacent chunks), every y-tap inside that step's sheared
+        # ng*8-row window. ng=1 kernels skip the group-range weight
+        # mask entirely, so an out-of-window tap is silently
+        # mis-gathered — this check is what makes that impossible.
+        jlo_px = jnp.maximum(kmin_px - margin - c_start_p, 0) // su
+        jhi_px = jnp.maximum(kmax_px + margin - c_start_p, 0) // su
+        for j_px in (jlo_px, jhi_px):
+            sh_px = jnp.clip(shift0_p + j_px * drift_p, 0, 2 * rb - 1)
+            win_lo = r_base_p + sh_px
+            ok_px &= jnp.logical_and(
+                ymin_px - margin >= win_lo,
+                ymax_px + margin + 1 <= win_lo + n_groups * 8,
+            )
+        if wrap:
+            # Monotonized columns must stay inside the physical wrap
+            # margin of the padded source (same bound as the sub-tile
+            # check, per pixel).
+            ok_px &= kmax_px <= PAD + in_w + cb + PAD + margin
+        vpx = ok_px
     # Tiles with no usable sub-tile still run through the kernel (their
     # output is fully patched afterwards); clamp their scan length so they
     # cost one unroll step instead of scanning a frame-wide window.
@@ -1165,10 +1225,15 @@ def _prepass(
             "cmin_sub": cmin_sub,
             "cmax_sub": cmax_sub,
         }
+        if vpx is not None:
+            parts["valid_px"] = vpx
         return scalars, jnp.logical_not(ok_sub), parts
+    out = (scalars, jnp.logical_not(ok_sub))
     if rescue is not None:
-        return scalars, jnp.logical_not(ok_sub), rescue
-    return scalars, jnp.logical_not(ok_sub)
+        out = out + (rescue,)
+    if vpx is not None:
+        out = out + (vpx,)
+    return out
 
 
 def _make_kernel(
@@ -1532,6 +1597,7 @@ def _remap_pallas_one(
     band_rows: int = 0,
     rescue_cap: int = 0,
     rescue_budgets=None,
+    valid_px: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (band_rows, out_w, C), ok flag).
 
@@ -1549,6 +1615,12 @@ def _remap_pallas_one(
     are recomputed exactly by a compact whole-window launch instead of
     the ~30 ns/px XLA patch. Size it from the plan's rescuable count
     (see make_prepass(with_rescue=True)).
+
+    ``valid_px`` ((n_ty*tile_rows, n_tx*TC) bool, from
+    make_prepass(pixel_valid=True)): switches the patch to PIXEL
+    granularity — only bad-sub-tile pixels the kernel did NOT compute
+    exactly are resampled, instead of whole 8x128 blocks. Scan-body
+    launches only (whole-window/ww2 launches ignore it).
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1610,6 +1682,10 @@ def _remap_pallas_one(
     max_bad = max(1, int(n_units * 0.60))
     n_chunks_cap = -(-max_bad // patch_chunk)
     cap_padded = n_chunks_cap * patch_chunk
+    if scan_unroll < 0 or gchunks:
+        # whole-window / ww2 bodies: the per-pixel exactness model is
+        # scan-body-only; fall back to sub-tile patching.
+        valid_px = None
     if rescue is not None:
         # Pass-2 set: bad sub-tiles whose own window fits the rescue
         # budgets, capped at rescue_cap in row-major order (overflow
@@ -1624,7 +1700,28 @@ def _remap_pallas_one(
         r_ty, r_h, r_tx = jnp.nonzero(taken, size=rescue_cap, fill_value=-1)
     else:
         patch_mask = bad
-    bad_ty, bad_h, bad_tx = jnp.nonzero(patch_mask, size=cap_padded, fill_value=-1)
+    if valid_px is None:
+        bad_ty, bad_h, bad_tx = jnp.nonzero(
+            patch_mask, size=cap_padded, fill_value=-1)
+    else:
+        # PIXEL-granular patch set: bad-sub-tile pixels the kernel did
+        # not compute exactly (the per-pixel prepass refinement).
+        bad_px_mask = jnp.logical_and(
+            jnp.repeat(
+                jnp.repeat(patch_mask, 8, axis=1).reshape(
+                    n_ty * tile_rows, n_tx),
+                TC, axis=1,
+            ),
+            jnp.logical_not(valid_px),
+        )
+        n_px = n_ty * tile_rows * n_tx * TC
+        px_chunk = max(8 * TC, -(-(n_px // 32) // 1024) * 1024)
+        max_bad_px = max(1, int(n_px * 0.60))
+        n_chunks_cap_px = -(-max_bad_px // px_chunk)
+        cap_padded_px = n_chunks_cap_px * px_chunk
+        bad_iy, bad_ix = jnp.nonzero(
+            bad_px_mask, size=cap_padded_px, fill_value=-1)
+        n_bad_px = jnp.sum(bad_px_mask.astype(jnp.int32))
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -1784,6 +1881,50 @@ def _remap_pallas_one(
         wrap_mode = wrap_mode_for_input(in_lens)
         from .. import sampling as sampling_mod
 
+        if valid_px is not None:
+            # PIXEL-granular patch: resample only the truly-invalid
+            # pixels (bad-sub-tile pixels failing the per-pixel
+            # exactness refinement), chunked so cost scales with the
+            # actual count. Fill slots (-1) clamp to pixel 0 for the
+            # sampling math and scatter out of bounds (FILL_OR_DROP).
+            def sample_chunk_px(c, planar):
+                base = c * px_chunk
+                iy_raw = jax.lax.dynamic_slice(bad_iy, (base,), (px_chunk,))
+                ix_raw = jax.lax.dynamic_slice(bad_ix, (base,), (px_chunk,))
+                gy = jnp.minimum(row0 + jnp.maximum(iy_raw, 0), out_h - 1)
+                ix = jnp.minimum(jnp.maximum(ix_raw, 0), out_w - 1)
+                cx = (ix.astype(jnp.float32) + jnp.float32(0.5)
+                      ) - jnp.float32(out_w * 0.5) + jnp.float32(off_x)
+                cy = (gy.astype(jnp.float32) + jnp.float32(0.5)
+                      ) - jnp.float32(out_h * 0.5) + jnp.float32(off_y)
+                sx, sy = remap_ops.source_coords(
+                    in_lens, out_lens, in_h, in_w, cx, cy, rot_mat,
+                    out_h, out_w, xp=jnp,
+                )
+                vals = sampling_mod.sample(
+                    src_back, sx, sy, interp, wrap_mode)  # (K, C)
+                idx = jnp.stack([iy_raw, ix_raw], axis=-1)
+                return jax.lax.scatter(
+                    planar,
+                    idx,
+                    jnp.transpose(vals, (1, 0)),  # (C, K)
+                    jax.lax.ScatterDimensionNumbers(
+                        update_window_dims=(0,),
+                        inserted_window_dims=(1, 2),
+                        scatter_dims_to_operand_dims=(1, 2),
+                    ),
+                    indices_are_sorted=False,
+                    unique_indices=False,
+                    mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+                )
+
+            n_patch_px = jnp.minimum(n_bad_px, max_bad_px)
+            out_planar = jax.lax.fori_loop(
+                0, -(-n_patch_px // px_chunk), sample_chunk_px, out_planar
+            )
+            return jnp.transpose(
+                out_planar[:, :band_rows, :out_w], (1, 2, 0))
+
         def sample_chunk(c, planar):
             base = c * patch_chunk
             ty_raw = jax.lax.dynamic_slice(bad_ty, (base,), (patch_chunk,))
@@ -1907,6 +2048,7 @@ def make_prepass(
     with_rescue: bool = False,
     rescue_budgets=None,
     return_parts: bool = False,
+    pixel_valid: bool = False,
 ) -> Tuple[Array, ...]:
     """Precompute the per-tile window scalars + overflow mask (a "plan").
 
@@ -1925,6 +2067,12 @@ def make_prepass(
     prepass is config-only, so the count is constant across the frame
     stream. ``return_parts=True`` instead returns (scalars, bad, parts):
     the per-sub-tile window extremes for host-side budget selection.
+    ``pixel_valid=True`` (scan-body plans only) appends a per-pixel
+    kernel-exactness mask — pass it to
+    ``remap_pallas(..., valid_px=...)`` for the PIXEL-granular patch
+    (resample only the truly-invalid pixels of bad sub-tiles instead of
+    whole 8x128 blocks; measured invalid fractions: 39% of bad-sub-tile
+    pixels on BASELINE cfg2, 85% on cfg4's fold ring).
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1954,6 +2102,7 @@ def make_prepass(
         rescue_channels=channels if with_rescue else 0,
         rescue_budgets=rescue_budgets,
         return_parts=return_parts,
+        pixel_valid=pixel_valid,
     )
 
 
@@ -1979,6 +2128,8 @@ def remap_pallas(
     prepass: Optional[Tuple[Array, ...]] = None,
     rescue_cap: int = 0,
     rescue_budgets=None,
+    valid_px: Optional[Array] = None,
+    pixel_patch: bool = False,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
@@ -1993,6 +2144,12 @@ def remap_pallas(
     rescuable count) with the 3-tuple to enable the pass-2 rescue.
     ``rescue_budgets``: the (ng, g) pair the rescue fields were computed
     with — MUST match the make_prepass call (defaults match defaults).
+
+    ``valid_px``: per-pixel kernel-exactness mask from
+    make_prepass(pixel_valid=True) — switches the overflow patch to
+    PIXEL granularity (only ~valid_px pixels of bad sub-tiles are
+    resampled). ``pixel_patch=True`` computes it inline when no
+    ``prepass`` was supplied (scan-body launches only).
     """
     from .. import color as color_ops
 
@@ -2019,7 +2176,7 @@ def remap_pallas(
     # launch's taps.
     shared = None
     cb_eff = cb if cb > 0 else CB
-    if prepass is not None or n_samples > 1:
+    if prepass is not None or n_samples > 1 or pixel_patch:
         wrap = wrap_mode_for_input(in_lens)
         padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb_eff)
         if prepass is not None:
@@ -2036,18 +2193,22 @@ def remap_pallas(
             n_ty = -(-(band_rows if band_rows > 0 else out_h) // tile_rows)
             n_tx = -(-out_w // TC)
             su_eff, gch, ww2_eff = _resolve_su(scan_unroll, int(src.shape[2]))
+            with_rescue_f = rescue_cap > 0
             pre = _prepass(
                 in_lens, out_lens, in_h, in_w, out_h, out_w,
                 rotation, _prepass_offsets(n_samples), interp, wrap,
                 n_ty, n_tx, h_pad // rb - 1, w_pad // cb_eff - 1, tile_rows,
                 n_groups_eff, row0=row0, rb=rb, scan_unroll=su_eff,
                 cb=cb_eff, max_chunks=1 if gch else 0, ww2=ww2_eff,
-                rescue_channels=int(src.shape[2]) if rescue_cap > 0 else 0,
+                rescue_channels=int(src.shape[2]) if with_rescue_f else 0,
                 rescue_budgets=rescue_budgets,
+                pixel_valid=pixel_patch,
             )
-            (scalars, bad), rescue_f = pre[:2], (
-                pre[2] if len(pre) > 2 else None
-            )
+            scalars, bad = pre[:2]
+            rest = list(pre[2:])
+            rescue_f = rest.pop(0) if with_rescue_f and rest else None
+            if rest and valid_px is None:
+                valid_px = rest.pop(0)
         shared = (
             (padded, scalars, bad, rescue_f)
             if rescue_f is not None
@@ -2066,6 +2227,7 @@ def remap_pallas(
                 scan_unroll=scan_unroll, cb=cb,
                 shared=shared, row0=row0, band_rows=band_rows,
                 rescue_cap=rescue_cap, rescue_budgets=rescue_budgets,
+                valid_px=valid_px,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))
