@@ -137,14 +137,15 @@ def main() -> int:
     from image_lens_reproject_tpu.ops import dispatch
 
     use_rescue = dispatch.rescue_enabled()
+    use_pixel_patch = dispatch.pixel_patch_enabled()
     tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
         in_lens, out_lens, SRC_H, SRC_W, OUT_H, OUT_W, np.asarray(rot), INTERP,
         with_rescue=use_rescue,
     )
     # The prepass depends only on the config; a frame stream computes it
     # once (pipeline directory mode does the same via its plan cache).
-    scalars, bad, rescue, rescue_cap, budgets = remap_fused.plan_with_rescue(
-        rot, use_rescue=use_rescue,
+    scalars, bad, rescue, rescue_cap, budgets, valid_px = remap_fused.plan_with_rescue(
+        rot, use_rescue=use_rescue, pixel_patch=use_pixel_patch,
         in_lens=in_lens, out_lens=out_lens, in_h=SRC_H, in_w=SRC_W,
         out_h=OUT_H, out_w=OUT_W, interp=INTERP, n_samples=1,
         tile_rows=tile_rows, n_groups=n_groups, rb=rb, scan_unroll=scan_unroll,
@@ -164,6 +165,7 @@ def main() -> int:
             scalars,
             bad,
             rescue,
+            valid_px,
             rescue_cap=rescue_cap,
             rescue_budgets=budgets,
             in_lens=in_lens,
@@ -243,6 +245,7 @@ def main() -> int:
         "scan_unroll": scan_unroll,
         "cb": cb,
         "rescued_subtiles": n_resc,
+        "pixel_patch": valid_px is not None,
         "rescue_enabled": use_rescue,
         "rescue_budgets": list(budgets) if budgets else None,
         "reps_mpix_s": [round(r, 1) for r in rates],

@@ -78,13 +78,14 @@ def main() -> int:
         from image_lens_reproject_tpu.ops import dispatch
 
         use_rescue = dispatch.rescue_enabled()
+        use_pixel_patch = dispatch.pixel_patch_enabled()
         tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp,
             channels=channels, with_rescue=use_rescue,
         )
         # One shared plan construction path with the pipeline/bench.py.
-        scalars, bad, rescue, rescue_cap, budgets = remap_fused.plan_with_rescue(
-            rot, use_rescue=use_rescue,
+        scalars, bad, rescue, rescue_cap, budgets, valid_px = remap_fused.plan_with_rescue(
+            rot, use_rescue=use_rescue, pixel_patch=use_pixel_patch,
             in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
@@ -96,7 +97,7 @@ def main() -> int:
 
         def fn(s):
             return remap_fused.remap_tonemap_planned(
-                s, rot, scalars, bad, rescue, rescue_cap=rescue_cap,
+                s, rot, scalars, bad, rescue, valid_px, rescue_cap=rescue_cap,
                 rescue_budgets=budgets,
                 in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
@@ -113,6 +114,11 @@ def main() -> int:
             "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
             "rescued_subtiles": n_resc, "rescue_enabled": use_rescue,
             "rescue_budgets": list(budgets) if budgets else None,
+            "pixel_patch": valid_px is not None,
+            "patched_px": (
+                int(np.asarray(jnp.sum(valid_px[0] >= 0)))
+                if valid_px is not None else None
+            ),
         }), flush=True)
 
     RECT3536 = Rectilinear(35.0, 36.0, 36.0 * 1080 / 1920)

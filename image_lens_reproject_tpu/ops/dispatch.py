@@ -73,9 +73,27 @@ def kernel_source_digest() -> str:
     return _digest_cache
 
 
+def read_kernel_source_digest() -> str:
+    """UNMEMOIZED digest of the kernel sources as they are on disk NOW.
+
+    The battery calls this at START and passes the value to
+    ``write_onchip_marker`` — the marker must attest the code the cases
+    actually executed, not whatever is on disk when the battery ends
+    (round 4 shipped a marker whose digest postdated the run: a kernel
+    edit landed mid-battery and the memoized digest was first computed
+    at marker-write time)."""
+    h = hashlib.sha256()
+    base = Path(__file__).resolve().parent
+    for rel in _KERNEL_SOURCES:
+        h.update((base / rel).read_bytes())
+    return h.hexdigest()
+
+
 def write_onchip_marker(platform: str, battery: str, failures: int,
                         ww2_failures: int = 0,
-                        t128_failures: int = -1) -> None:
+                        t128_failures: int = -1,
+                        vpx_failures: int = -1,
+                        start_digest: str = "") -> None:
     """Record an on-chip verification result (bench/verify_onchip.py).
 
     Only a zero-failure run on a real TPU produces a marker that
@@ -83,19 +101,36 @@ def write_onchip_marker(platform: str, battery: str, failures: int,
     so a broken ww2 body cannot withhold the rescue attestation (and
     vice versa — ``ww2_verified`` requires BOTH counts clean, since the
     battery's ww2 cases assume the shared prepass/patch machinery).
-    ``t128_failures`` attests the tr=128 tall-tile cases the same way
-    (-1 = not exercised: batteries predating the tr=128 cases never
-    attest them).
+    ``t128_failures`` attests the tr=128 tall-tile cases and
+    ``vpx_failures`` the pixel-granular-patch cases the same way
+    (-1 = not exercised: batteries predating those cases never attest
+    them).
+
+    ``start_digest`` (from ``read_kernel_source_digest()`` at battery
+    START) closes the mid-run-edit race: if the sources on disk no
+    longer hash to it, the battery verified code that is not the code a
+    later process would run — refuse the marker.
     """
     import time
 
+    if start_digest:
+        now = read_kernel_source_digest()
+        if now != start_digest:
+            raise RuntimeError(
+                "kernel sources changed while the verification battery "
+                f"ran (start digest {start_digest[:12]}…, now "
+                f"{now[:12]}…) — the results attest stale code; re-run "
+                "the battery against the current sources"
+            )
+
     _MARKER_PATH.write_text(json.dumps({
-        "digest": kernel_source_digest(),
+        "digest": start_digest or kernel_source_digest(),
         "platform": platform,
         "battery": battery,
         "failures": failures,
         "ww2_failures": ww2_failures,
         "t128_failures": t128_failures,
+        "vpx_failures": vpx_failures,
         "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }, indent=1) + "\n")
 
@@ -147,6 +182,38 @@ def t128_verified() -> bool:
         and rec.get("failures") == 0
         and rec.get("t128_failures", -1) == 0
     )
+
+
+def vpx_verified() -> bool:
+    """True iff the pixel-granular-patch cases verified on hardware.
+
+    Gates the pipeline/bench pixel_patch plans: vpx itself is XLA-side
+    (the prepass), but its claim — "the kernel computed this pixel
+    exactly" — is about REAL kernel behavior, which only the on-chip
+    battery can attest (interpret mode cannot see Mosaic miscompiles).
+    Markers without the ``vpx_failures`` key (or with -1) do not attest
+    it.
+    """
+    rec = _marker_record()
+    return (
+        rec is not None
+        and rec.get("failures") == 0
+        and rec.get("vpx_failures", -1) == 0
+    )
+
+
+def pixel_patch_enabled() -> bool:
+    """Should the pipeline/bench build PIXEL-granular patch plans?
+
+    ``ILR_PIXEL_PATCH=1``/``0`` overrides (the battery itself, probes);
+    auto: only with hardware verification evidence for the current
+    kernel sources. Off is a performance fallback (overflow patches in
+    whole sub-tiles), never a correctness change.
+    """
+    env = os.environ.get("ILR_PIXEL_PATCH")
+    if env in ("0", "1"):
+        return env == "1"
+    return vpx_verified()
 
 
 _rescue_override = None  # None = auto; True/False from --rescue on|off

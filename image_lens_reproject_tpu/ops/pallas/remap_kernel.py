@@ -340,9 +340,32 @@ _SU_LIVE_BUDGET = 4096    # max ng*taps*su*n_sub (scoped-VMEM compile bound)
 _DEBUG_COSTS = None       # set to a list to record every candidate's
                           # (cost, tr, ng, rb, su, cb, f_patch, f_resc)
                           # from the next suggest_tiling call (fit aid)
-_WW2_TILE_NS = 1450.0     # per-tile fixed share (DMA issue + rolls), ns —
-                          # solved exactly from the cfg3 ww2 tr=48/64 pair
-                          # (2010.7 / 2281.2 Mpix/s, `git 878b492`)
+# ww2 per-tile fixed share (DMA issue + per-sub-tile rolls), ns — solved
+# EXACTLY from the four r4b on-chip triples (cfg3t128_r4b.log: 64:1:16 =
+# 2342.4, 64:1:32 = 2086.4, 128:1:24 = 2295.2, 128:1:32 = 2385.9 Mpix/s;
+# body fixed at the 0.261 ns/px fit below):
+#   T(tr, rb) = T0 + TR*tr + RB*rb + NP2*[2*rb not a power of two]
+# The rb slope is the rolled-window height (each sub-tile rolls a 2*rb
+# window into place); the NP2 penalty is the one structure that fits the
+# (128, 24) point being SLOWER than (128, 32) while (64, 16) beats
+# (64, 32): a non-power-of-two roll height costs an extra shuffle stage,
+# whereas bandwidth-style models predict monotone-in-rb at every height.
+# Ranking-only (the prepass admission guards exactness); round-4's
+# single constant (1450, tr=48/64 solve `git 878b492`) lives on as the
+# tr=64/rb~16 value of this surface.
+_WW2_TILE_T0 = 127.6
+_WW2_TILE_TR_NS = 12.54
+_WW2_TILE_RB_NS = 26.81
+_WW2_TILE_NP2_NS = 486.1
+
+
+def ww2_tile_ns(tr: int, rb: int) -> float:
+    """Fitted ww2 per-tile fixed share (ns) — see constants above."""
+    t = _WW2_TILE_T0 + _WW2_TILE_TR_NS * tr + _WW2_TILE_RB_NS * rb
+    h = 2 * rb
+    if h & (h - 1):
+        t += _WW2_TILE_NP2_NS
+    return t
 
 
 def ww2_cost_ns_per_px(g: int, taps: int, c: int) -> float:
@@ -353,8 +376,8 @@ def ww2_cost_ns_per_px(g: int, taps: int, c: int) -> float:
     sublane gathers, 2 selects + 2 FMAs per (c, n, m). Weights: lane
     gathers ~5x an average vector op, sublane ~1.5x (op_model.py /
     gather_cost_probe.py), 0.64 ns per average op — FITTED with
-    _WW2_TILE_NS from the cfg3 ww2 tr=48/64 on-chip pair
-    (`git 878b492`): body 0.261 ns/px at (g=1, bicubic, C=3), model
+    ww2_tile_ns from the cfg3 ww2 on-chip points (`git 878b492` +
+    r4b cfg3t128): body 0.261 ns/px at (g=1, bicubic, C=3), model
     420 op-units. Ranking-only: the prepass admission guards exactness.
     """
     lane = c * (taps + 2) * (1 + 2 * (g - 1))
@@ -702,7 +725,7 @@ def suggest_tiling(
                         # the modeled gather cost.
                         gch = -su - _WW2_BASE
                         kern = (ww2_cost_ns_per_px(gch, taps, channels)
-                                + _WW2_TILE_NS / (tr * TC))
+                                + ww2_tile_ns(tr, rb) / (tr * TC))
                     else:
                         grp_ns = (_KERNEL_GROUP_NS
                                   + _KERNEL_GROUP_NS2 * ng) * channels
@@ -744,7 +767,16 @@ def suggest_tiling(
                     # headline ran tr=48 with (64,1,16) modeled 2% ahead).
                     # Same-or-shorter tile_rows compare unmargined so the
                     # pick stays the modeled argmin within a height.
-                    disp = 0.97 if best is not None and tr > best[1] else 1.0
+                    # EXCEPTION: ww2-displacing-ww2 uses 1% — both tile
+                    # heights are anchored to on-chip fit points (the r4b
+                    # cfg3t128 battery ran tr=64 AND tr=128 ww2), so the
+                    # unprobed-territory hysteresis would veto the
+                    # measured-faster (128,1,32) pick (2385.9 vs 2342.4,
+                    # +1.9% — inside 3%, outside 1%).
+                    if best is not None and tr > best[1]:
+                        disp = 0.99 if (su < 0 and best[4] < 0) else 0.97
+                    else:
+                        disp = 1.0
                     if best is None or cost < best[0] * disp:
                         best = (cost, tr, ng, rb, su, cbb)
         if best is not None:
@@ -873,6 +905,70 @@ def _subtile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int)
     n_sub = tile_rows // 8
     r = field.reshape(n_ty, n_sub, 8, n_tx, TC)
     return (jnp.min if op == "min" else jnp.max)(r, axis=(2, 4))
+
+
+def _px_patch_sizes(n_px: int) -> Tuple[int, int, int]:
+    """Static chunk sizing for the PIXEL-granular patch loop.
+
+    Shared by the launch (inline-mask path) and compact_valid_px (the
+    plan-time precompaction) so a precompacted list's length always
+    matches the launch's expectation: (px_chunk, max_bad_px,
+    cap_padded_px)."""
+    px_chunk = max(8 * TC, -(-(n_px // 32) // 1024) * 1024)
+    max_bad_px = max(1, int(n_px * 0.60))
+    n_chunks_cap_px = -(-max_bad_px // px_chunk)
+    return px_chunk, max_bad_px, n_chunks_cap_px * px_chunk
+
+
+def _rescue_taken(bad: Array, rescue: Array, rescue_cap: int) -> Array:
+    """Pass-2 set: bad sub-tiles whose own window fits the rescue
+    budgets, capped at rescue_cap in row-major order (overflow beyond
+    the cap falls through to the XLA patch). Config-only; shared by the
+    launch and the plan-time patch compaction so both see the SAME
+    rescued set."""
+    resc_ok = jnp.logical_and(bad, rescue[3] > 0)
+    flat = resc_ok.reshape(-1)
+    return jnp.logical_and(
+        flat, jnp.cumsum(flat.astype(jnp.int32)) <= rescue_cap
+    ).reshape(resc_ok.shape)
+
+
+def compact_valid_px(
+    bad: Array,
+    rescue: Optional[Array],
+    rescue_cap: int,
+    vpx: Array,
+    *,
+    tile_rows: int,
+) -> Array:
+    """Precompact the pixel-granular patch list from a plan (config-only).
+
+    ``bad`` (n_ty, n_sub, n_tx) and ``vpx`` ((n_ty*tile_rows,
+    n_tx*TC) bool) come from make_prepass(pixel_valid=True); ``rescue``/
+    ``rescue_cap`` must be the SAME the launch will run with (rescued
+    sub-tiles are computed exactly by pass 2, so their pixels are not
+    patched). Returns an int32 (2, cap_padded_px) stack of (iy, ix)
+    output coordinates (band-local), fill value -1 — pass it as
+    ``remap_pallas(valid_px=...)``: the launch then skips the
+    full-resolution mask + nonzero compaction entirely (it is identical
+    every frame of a config's stream)."""
+    n_ty, n_sub, n_tx = bad.shape
+    if rescue is not None and rescue_cap > 0:
+        patch_mask = jnp.logical_and(
+            bad, jnp.logical_not(_rescue_taken(bad, rescue, rescue_cap))
+        )
+    else:
+        patch_mask = bad
+    bad_px_mask = jnp.logical_and(
+        jnp.repeat(
+            jnp.repeat(patch_mask, 8, axis=1).reshape(n_ty * tile_rows, n_tx),
+            TC, axis=1,
+        ),
+        jnp.logical_not(vpx),
+    )
+    _, _, cap_padded_px = _px_patch_sizes(n_ty * tile_rows * n_tx * TC)
+    iy, ix = jnp.nonzero(bad_px_mask, size=cap_padded_px, fill_value=-1)
+    return jnp.stack([iy, ix]).astype(jnp.int32)
 
 
 def _prepass(
@@ -1081,6 +1177,14 @@ def _prepass(
         ok_sub = jnp.logical_and(ok_sub, ok_w)
     row_shift_sub = jnp.clip(shift0, 0, 2 * rb - 1)  # (n_ty, n_sub, n_tx)
     row_drift_sub = drift
+    # Tiles with no usable sub-tile still run through the kernel (their
+    # output is fully patched afterwards); clamp their scan length so they
+    # cost one unroll step instead of scanning a frame-wide window. The
+    # clamp MUST precede the per-pixel exactness model below — vpx's
+    # condition A checks taps against the scan length the kernel actually
+    # runs, and the pre-clamp length marked pixels of fully-bad tiles
+    # kernel-exact that the kernel never computed (ADVICE r4 high).
+    n_scan = jnp.where(jnp.any(ok_sub, axis=1), n_scan, su)
 
     vpx = None
     if pixel_valid and not ww2 and max_chunks == 0:
@@ -1095,8 +1199,10 @@ def _prepass(
         # error is safe by construction: marking a good pixel invalid
         # costs one extra patched pixel; every condition here is the
         # same-or-stricter per-pixel form of the sub-tile admission
-        # (same margins), and tests pin vpx-patched outputs against the
-        # XLA path pixel-exactly.
+        # (same margins); tests/test_pixel_patch.py pins vpx-patched
+        # outputs against the XLA path pixel-exactly, including a
+        # config whose tiles have NO usable sub-tile (the n_scan-clamp
+        # ordering bug ADVICE r4 found).
         def subpx(a):  # (n_ty, n_sub, n_tx) -> per-pixel
             return jnp.repeat(jnp.repeat(a, 8, axis=1).reshape(
                 n_ty * tile_rows, n_tx), TC, axis=1)
@@ -1140,10 +1246,6 @@ def _prepass(
             # check, per pixel).
             ok_px &= kmax_px <= PAD + in_w + cb + PAD + margin
         vpx = ok_px
-    # Tiles with no usable sub-tile still run through the kernel (their
-    # output is fully patched afterwards); clamp their scan length so they
-    # cost one unroll step instead of scanning a frame-wide window.
-    n_scan = jnp.where(jnp.any(ok_sub, axis=1), n_scan, su)
 
     rescue = None
     if rescue_channels > 0:
@@ -1231,7 +1333,10 @@ def _prepass(
     out = (scalars, jnp.logical_not(ok_sub))
     if rescue is not None:
         out = out + (rescue,)
-    if vpx is not None:
+    if pixel_valid:
+        # Deterministic arity: pixel_valid=True always appends the slot,
+        # None when no per-pixel model exists (ww2/whole-window bodies) —
+        # callers distinguish fields by ndim, never by position guessing.
         out = out + (vpx,)
     return out
 
@@ -1687,14 +1792,7 @@ def _remap_pallas_one(
         # scan-body-only; fall back to sub-tile patching.
         valid_px = None
     if rescue is not None:
-        # Pass-2 set: bad sub-tiles whose own window fits the rescue
-        # budgets, capped at rescue_cap in row-major order (overflow
-        # beyond the cap falls through to the XLA patch).
-        resc_ok = jnp.logical_and(bad, rescue[3] > 0)
-        flat = resc_ok.reshape(-1)
-        taken = jnp.logical_and(
-            flat, jnp.cumsum(flat.astype(jnp.int32)) <= rescue_cap
-        ).reshape(resc_ok.shape)
+        taken = _rescue_taken(bad, rescue, rescue_cap)
         patch_mask = jnp.logical_and(bad, jnp.logical_not(taken))
         n_bad = jnp.sum(patch_mask.astype(jnp.int32))  # XLA-patched units
         r_ty, r_h, r_tx = jnp.nonzero(taken, size=rescue_cap, fill_value=-1)
@@ -1706,22 +1804,38 @@ def _remap_pallas_one(
     else:
         # PIXEL-granular patch set: bad-sub-tile pixels the kernel did
         # not compute exactly (the per-pixel prepass refinement).
-        bad_px_mask = jnp.logical_and(
-            jnp.repeat(
-                jnp.repeat(patch_mask, 8, axis=1).reshape(
-                    n_ty * tile_rows, n_tx),
-                TC, axis=1,
-            ),
-            jnp.logical_not(valid_px),
-        )
         n_px = n_ty * tile_rows * n_tx * TC
-        px_chunk = max(8 * TC, -(-(n_px // 32) // 1024) * 1024)
-        max_bad_px = max(1, int(n_px * 0.60))
-        n_chunks_cap_px = -(-max_bad_px // px_chunk)
-        cap_padded_px = n_chunks_cap_px * px_chunk
-        bad_iy, bad_ix = jnp.nonzero(
-            bad_px_mask, size=cap_padded_px, fill_value=-1)
-        n_bad_px = jnp.sum(bad_px_mask.astype(jnp.int32))
+        px_chunk, max_bad_px, cap_padded_px = _px_patch_sizes(n_px)
+        if valid_px.dtype == jnp.bool_:
+            # Inline mask: compact per launch (pixel_patch=True without
+            # a plan). Frame streams should pass compact_valid_px's
+            # precompacted list instead — the mask + nonzero below are
+            # config-only and identical every frame.
+            bad_px_mask = jnp.logical_and(
+                jnp.repeat(
+                    jnp.repeat(patch_mask, 8, axis=1).reshape(
+                        n_ty * tile_rows, n_tx),
+                    TC, axis=1,
+                ),
+                jnp.logical_not(valid_px),
+            )
+            bad_iy, bad_ix = jnp.nonzero(
+                bad_px_mask, size=cap_padded_px, fill_value=-1)
+            n_bad_px = jnp.sum(bad_px_mask.astype(jnp.int32))
+        else:
+            # Precompacted (2, cap_padded_px) int32 from compact_valid_px
+            # (plan-time, config-only). A full list (no -1 fill) means
+            # the true count may exceed the cap — the count then reads
+            # as cap_padded_px (> max_bad_px), which correctly fails the
+            # pallas-branch gate below and takes the full XLA path.
+            if valid_px.shape != (2, cap_padded_px):
+                raise ValueError(
+                    f"precompacted valid_px shape {valid_px.shape} does "
+                    f"not match this launch's (2, {cap_padded_px}) — was "
+                    "the plan built for a different tiling/band?"
+                )
+            bad_iy, bad_ix = valid_px[0], valid_px[1]
+            n_bad_px = jnp.sum((bad_iy >= 0).astype(jnp.int32))
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -1998,8 +2112,14 @@ def _remap_pallas_one(
     # samplers: slicing it back out of the interleaved padded array kept
     # the slice+reshape fused into every patch gather (measured ~3x the
     # normal XLA-sampling cost on patch-heavy fisheye configs).
+    # Pixel-granular launches gate on the PIXEL count: a frame can be
+    # >60% bad sub-tiles yet mostly kernel-exact per pixel, and the
+    # pixel patch only pays for the truly-invalid pixels.
+    ok_kernel = (
+        n_bad <= max_bad if valid_px is None else n_bad_px <= max_bad_px
+    )
     result = jax.lax.cond(
-        n_bad <= max_bad, pallas_branch, xla_branch, (padded, rot_arr, src)
+        ok_kernel, pallas_branch, xla_branch, (padded, rot_arr, src)
     )
     return result, n_bad == 0
 
@@ -2180,10 +2300,27 @@ def remap_pallas(
         wrap = wrap_mode_for_input(in_lens)
         padded, h_pad, w_pad = _pad_source(src, wrap, rb, cb_eff)
         if prepass is not None:
-            if len(prepass) > 2:
-                scalars, bad, rescue_f = prepass
-            else:
-                (scalars, bad), rescue_f = prepass, None
+            # Unpack by FIELD SHAPE, not position: extras past (scalars,
+            # bad) are the 4-stack rescue fields (ndim 4) and/or the
+            # per-pixel validity mask (ndim 2, output-grid shaped) in
+            # either order — a pixel_valid-only prepass must never land
+            # its mask in the rescue slot (ADVICE r4 low).
+            scalars, bad = prepass[0], prepass[1]
+            rescue_f = None
+            for extra in prepass[2:]:
+                if extra is None:
+                    continue
+                if extra.ndim == 4:
+                    rescue_f = extra
+                elif extra.ndim == 2:
+                    if valid_px is None:
+                        valid_px = extra
+                else:
+                    raise ValueError(
+                        "unrecognized prepass field of ndim "
+                        f"{extra.ndim} (expected rescue stack ndim 4 or "
+                        "valid_px mask ndim 2)"
+                    )
         else:
             in_h, in_w = int(src.shape[0]), int(src.shape[1])
             if n_groups <= 0:

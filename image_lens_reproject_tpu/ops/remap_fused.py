@@ -118,6 +118,7 @@ def remap_tonemap_planned(
     scalars: jax.Array,
     bad: jax.Array,
     rescue: Optional[jax.Array] = None,
+    valid_px: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -143,7 +144,10 @@ def remap_tonemap_planned(
     make_plan(with_rescue=True)) plus a static ``rescue_cap`` > 0 to
     recompute rescuable overflow sub-tiles with the exact pass-2 kernel
     instead of the XLA patch; ``rescue_budgets`` must be the same (ng, g)
-    the plan was computed with.
+    the plan was computed with. Pass ``valid_px`` (from
+    plan_with_rescue(pixel_patch=True)) to patch overflow at PIXEL
+    granularity — only bad-sub-tile pixels the kernel did not compute
+    exactly are resampled instead of whole 8x128 blocks.
     """
     from .pallas import remap_kernel
 
@@ -156,6 +160,7 @@ def remap_tonemap_planned(
         scan_unroll=scan_unroll, cb=cb, prepass=pre,
         rescue_cap=rescue_cap if rescue is not None else 0,
         rescue_budgets=rescue_budgets,
+        valid_px=valid_px,
     )
 
 
@@ -173,6 +178,7 @@ def remap_tonemap_planned_batch(
     scalars: jax.Array,
     bad: jax.Array,
     rescue: Optional[jax.Array] = None,
+    valid_px: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -210,6 +216,7 @@ def remap_tonemap_planned_batch(
             reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
             rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=pre,
             rescue_cap=cap, rescue_budgets=rescue_budgets,
+            valid_px=valid_px,
         )
         return None, out
 
@@ -237,11 +244,14 @@ def make_plan(
     with_rescue: bool = False,
     rescue_budgets=None,
     return_parts: bool = False,
+    pixel_valid: bool = False,
 ):
     """Device-compute the reusable (scalars, bad[, rescue]) prepass for one
     config. ``with_rescue=True`` adds the pass-2 per-sub-tile window
     fields, checked against ``rescue_budgets`` (see
-    remap_kernel.make_prepass; choose_rescue_budgets picks per config)."""
+    remap_kernel.make_prepass; choose_rescue_budgets picks per config).
+    ``pixel_valid=True`` appends the per-pixel kernel-exactness mask
+    (None for ww2/whole-window plans — scan-body only)."""
     from .pallas import remap_kernel
 
     fn = jax.jit(
@@ -252,7 +262,7 @@ def make_plan(
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
             with_rescue=with_rescue, rescue_budgets=rescue_budgets,
-            return_parts=return_parts,
+            return_parts=return_parts, pixel_valid=pixel_valid,
         )
     )
     return fn(rotation)
@@ -265,13 +275,20 @@ def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
     return remap_kernel.rescue_cost_ns_per_px(ng, g, channels, taps)
 
 
-def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_kw):
+def plan_with_rescue(
+    rotation: Optional[jax.Array],
+    *,
+    use_rescue: bool,
+    pixel_patch: bool = False,
+    **plan_kw,
+):
     """Build the frame-stream plan, ladder-choosing the rescue budgets.
 
     The single construction path shared by the pipeline, bench.py and
     bench/baseline_configs (one implementation to keep in lockstep).
-    Returns (scalars, bad, rescue, rescue_cap, rescue_budgets); rescue
-    is None (cap 0, budgets None) when disabled or nothing is rescuable.
+    Returns (scalars, bad, rescue, rescue_cap, rescue_budgets,
+    valid_px); rescue is None (cap 0, budgets None) when disabled or
+    nothing is rescuable.
 
     With rescue enabled, every admissible RESCUE_LADDER entry gets its
     own prepass and the EXACT admitted count (``bad & rescue[3] > 0`` —
@@ -279,14 +296,49 @@ def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_
     applies, not just the span/extent bounds); the entry maximizing
     admitted * (patch_cost - rescue_cost(ng, g)) wins. Config-only work:
     callers cache the result per (shape, config).
+
+    ``pixel_patch=True`` additionally builds the PIXEL-granular patch
+    list (remap_kernel.compact_valid_px — the per-frame mask+compaction
+    hoisted into the config-only plan): ``valid_px`` is an int32 (2, N)
+    coordinate stack to pass straight to the planned entry points. It
+    stays None when the plan is not scan-body (ww2/whole-window), when
+    nothing is patched, when the invalid pixels exceed the 60% launch
+    cap (the launch takes full XLA anyway), or when granularity saves
+    <5% of the patched pixels (the sub-tile patch is then the same work
+    without the per-pixel scatter).
     """
     import numpy as np
 
     from .pallas import remap_kernel as RK
 
+    def finish(scalars, bad, rescue, rescue_cap, budgets, vpx):
+        valid_px = None
+        if pixel_patch and vpx is not None:
+            tile_rows = plan_kw.get("tile_rows", RK.TR)
+            compact = RK.compact_valid_px(
+                bad, rescue, rescue_cap, vpx, tile_rows=tile_rows)
+            n_inv = int(np.asarray(jnp.sum(compact[0] >= 0)))
+            if rescue is not None and rescue_cap > 0:
+                pm = jnp.logical_and(bad, jnp.logical_not(
+                    RK._rescue_taken(bad, rescue, rescue_cap)))
+            else:
+                pm = bad
+            bad_px = int(np.asarray(jnp.sum(pm))) * 8 * RK.TC
+            _, max_bad_px, cap_padded_px = RK._px_patch_sizes(
+                bad.shape[0] * tile_rows * bad.shape[2] * RK.TC)
+            if (
+                0 < n_inv <= max_bad_px
+                and n_inv < cap_padded_px  # complete list, no truncation
+                and n_inv < 0.95 * bad_px
+            ):
+                valid_px = compact
+        return scalars, bad, rescue, rescue_cap, budgets, valid_px
+
     if not use_rescue:
-        scalars, bad = make_plan(rotation, with_rescue=False, **plan_kw)
-        return scalars, bad, None, 0, None
+        plan = make_plan(rotation, with_rescue=False,
+                         pixel_valid=pixel_patch, **plan_kw)
+        vpx = plan[2] if pixel_patch else None
+        return finish(plan[0], plan[1], None, 0, None, vpx)
 
     taps = RK._interp_taps(plan_kw.get("interp", "bicubic"))
     channels = plan_kw.get("channels", 3)
@@ -316,14 +368,24 @@ def plan_with_rescue(rotation: Optional[jax.Array], *, use_rescue: bool, **plan_
     if best is None:
         # No ladder entry beats the patch for this (channels, taps) —
         # e.g. very wide channel counts under bicubic.
-        scalars, bad = make_plan(rotation, with_rescue=False, **plan_kw)
-        return scalars, bad, None, 0, None
+        plan = make_plan(rotation, with_rescue=False,
+                         pixel_valid=pixel_patch, **plan_kw)
+        vpx = plan[2] if pixel_patch else None
+        return finish(plan[0], plan[1], None, 0, None, vpx)
     scalars, bad, rescue = best[1]
     n_resc, budgets = best[2], best[3]
     rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
     if rescue_cap == 0:
         rescue, budgets = None, None
-    return scalars, bad, rescue, rescue_cap, budgets
+    vpx = None
+    if pixel_patch:
+        # The per-pixel mask is budget-independent; one extra prepass
+        # with the WINNING budgets fetches it (config-only work).
+        plan = make_plan(rotation, with_rescue=rescue is not None,
+                         rescue_budgets=budgets, pixel_valid=True,
+                         **plan_kw)
+        vpx = plan[3] if rescue is not None else plan[2]
+    return finish(scalars, bad, rescue, rescue_cap, budgets, vpx)
 
 
 def choose_rescue_budgets(rotation: Optional[jax.Array], **plan_kw):

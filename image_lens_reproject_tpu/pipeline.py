@@ -391,11 +391,12 @@ def process_batch(
             # part of the cache key — evidence can appear mid-process
             # (verify_onchip writing the marker).
             use_rescue = dispatch.rescue_enabled()
+            use_pixel_patch = dispatch.pixel_patch_enabled()
             key = (batch.shape[1:], opts.input_lens, opts.output_lens,
                    opts.out_height, opts.out_width, opts.interp,
                    opts.n_samples,
                    None if opts.rotation is None else opts.rotation.tobytes(),
-                   use_rescue)
+                   use_rescue, use_pixel_patch)
             cached = _plan_cache_get(key)
             if cached is None:
                 # The tiling pick models only what the runtime will do:
@@ -410,9 +411,10 @@ def process_batch(
                 )
                 # One shared construction path (plan + ladder-chosen
                 # budgets + cap) with bench.py/baseline_configs.
-                scalars, bad, rescue, rescue_cap, budgets = (
+                scalars, bad, rescue, rescue_cap, budgets, valid_px = (
                     remap_fused.plan_with_rescue(
                         rot, use_rescue=use_rescue,
+                        pixel_patch=use_pixel_patch,
                         in_lens=opts.input_lens, out_lens=opts.output_lens,
                         in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
                         out_h=opts.out_height, out_w=opts.out_width,
@@ -423,11 +425,12 @@ def process_batch(
                     )
                 )
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
-                          scalars, bad, rescue, rescue_cap, budgets)
+                          scalars, bad, rescue, rescue_cap, budgets,
+                          valid_px)
                 _plan_cache_put(key, cached)
                 _log_plan(opts, cached[:5], batch.shape[1:])
             (tile_rows, n_groups, rb, scan_unroll, cb,
-             scalars, bad, rescue, rescue_cap, budgets) = cached
+             scalars, bad, rescue, rescue_cap, budgets, valid_px) = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms
             # of tunnel/dispatch latency, so per-image launches taxed
@@ -439,6 +442,7 @@ def process_batch(
                 scalars,
                 bad,
                 rescue,
+                valid_px,
                 rescue_cap=rescue_cap,
                 rescue_budgets=budgets,
                 in_lens=opts.input_lens,

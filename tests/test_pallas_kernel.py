@@ -512,7 +512,7 @@ class TestKernelGolden:
         assert not RKm.rescue_feasible(16, 8, 4, 1)
         # bicubic beyond C=3 has NO feasible ladder entry: the planner
         # must disable rescue outright rather than crash the compile.
-        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+        _, _, rescue, cap, budgets, _ = remap_fused.plan_with_rescue(
             None, use_rescue=True,
             in_lens=Rectilinear(50.0, 36.0, 36.0), out_lens=EQUISOLID,
             in_h=256, in_w=256, out_h=256, out_w=256, interp="bicubic",
@@ -522,7 +522,7 @@ class TestKernelGolden:
         assert rescue is None and cap == 0 and budgets is None
         # the same geometry under bilinear C=4 does rescue, at a
         # feasible ladder entry
-        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+        _, _, rescue, cap, budgets, _ = remap_fused.plan_with_rescue(
             None, use_rescue=True,
             in_lens=Rectilinear(50.0, 36.0, 36.0), out_lens=EQUISOLID,
             in_h=256, in_w=256, out_h=256, out_w=256, interp="bilinear",
@@ -588,11 +588,11 @@ class TestKernelGolden:
             scan_unroll=32, cb=256, channels=4,
         )
         monkeypatch.setattr(RKm, "_RESCUE_LAUNCH_NS", 0.0)
-        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+        _, _, rescue, cap, budgets, _ = remap_fused.plan_with_rescue(
             None, use_rescue=True, **kw)
         assert rescue is not None and cap > 0  # rescuable work exists
         monkeypatch.undo()
         assert RKm._RESCUE_LAUNCH_NS > 0
-        _, _, rescue, cap, budgets = remap_fused.plan_with_rescue(
+        _, _, rescue, cap, budgets, _ = remap_fused.plan_with_rescue(
             None, use_rescue=True, **kw)
         assert rescue is None and cap == 0 and budgets is None

@@ -229,15 +229,19 @@ def _stub_kernel_path(monkeypatch):
     import jax.numpy as jnp
 
     def fake_plan(*a, **k):
-        # (scalars, bad[, rescue]) with zero bad sub-tiles -> rescue_cap 0
+        # (scalars, bad[, rescue][, vpx]) with zero bad sub-tiles ->
+        # rescue_cap 0, no pixel-patch list
         base = (None, jnp.zeros((1, 1, 1), bool))
         if k.get("with_rescue"):
-            return base + (jnp.zeros((4, 1, 1, 1), jnp.int32),)
+            base = base + (jnp.zeros((4, 1, 1, 1), jnp.int32),)
+        if k.get("pixel_valid"):
+            base = base + (None,)
         return base
 
     monkeypatch.setattr(remap_fused, "make_plan", fake_plan)
 
-    def fake_planned_batch(batch, rot, scalars, bad, rescue=None, *,
+    def fake_planned_batch(batch, rot, scalars, bad, rescue=None,
+                           valid_px=None, *,
                            in_lens, out_lens, out_h, out_w, interp,
                            n_samples, exposure, reinhard, **tiling):
         calls.append("kernel")
