@@ -1,10 +1,13 @@
 """Probe one BASELINE config on the real chip with explicit tilings.
 
-Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg]]] [...]
+Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p]]]] [...]
   cfg in {1, 2, 3, 4}   (see bench/baseline_configs.py)
   z=1: zero the bad mask (kernel-only rate; WRONG pixels — timing only)
   r=1: enable the pass-2 rescue (cap auto-sized from the plan)
   rng:rg: explicit rescue budgets (e.g. 12:6); defaults RESCUE_NG/G
+  p=1: PIXEL-granular patch — the full product plan path
+       (plan_with_rescue(pixel_patch=True): ladder-chosen budgets, so
+       the explicit rng:rg fields are ignored; pass 0:0 placeholders)
 
 Prints one JSON line per tiling (chained iterations, fetch-overhead
 subtracted). Use to iterate on a single config without re-timing all five.
@@ -43,8 +46,10 @@ def main() -> int:
         tr, ng, rb, su, cb = parts[:5]
         zero_bad = bool(parts[5]) if len(parts) > 5 else False
         use_rescue = bool(parts[6]) if len(parts) > 6 else False
-        budgets = (parts[7], parts[8]) if len(parts) > 8 else None
-        tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue, budgets))
+        budgets = (parts[7], parts[8]) if len(parts) > 8 and parts[7] else None
+        pixel = bool(parts[9]) if len(parts) > 9 else False
+        tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue, budgets,
+                        pixel))
 
     EQUIRECT = full_equirectangular()
     if cfg == 1:
@@ -75,23 +80,46 @@ def main() -> int:
     rot = None if rot_np is None else jnp.asarray(rot_np)
 
     overhead = None
-    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets in tilings:
+    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets, pixel in tilings:
         try:
-            plan = remap_fused.make_plan(
-                rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
-                out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=tr,
-                n_groups=ng, rb=rb, scan_unroll=su, cb=cb, channels=ch,
-                with_rescue=use_rescue, rescue_budgets=budgets,
-            )
-            scalars, bad = plan[:2]
-            rescue = plan[2] if use_rescue else None
-            cap = 0
-            n_resc = 0
-            if use_rescue:
-                n_resc = int(np.asarray(
-                    jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
-                ))
-                cap = max(128, -(-n_resc // 128) * 128) if n_resc else 0
+            valid_px = None
+            n_px_patched = None
+            if pixel:
+                # The full product plan path: ladder-chosen budgets +
+                # plan-time pixel compaction (explicit budgets ignored).
+                (scalars, bad, rescue, cap, budgets, valid_px) = (
+                    remap_fused.plan_with_rescue(
+                        rot, use_rescue=use_rescue, pixel_patch=True,
+                        in_lens=in_lens, out_lens=out_lens, in_h=ih,
+                        in_w=iw, out_h=oh, out_w=ow, interp=interp,
+                        n_samples=1, tile_rows=tr, n_groups=ng, rb=rb,
+                        scan_unroll=su, cb=cb, channels=ch,
+                    )
+                )
+                n_resc = 0
+                if rescue is not None:
+                    n_resc = int(np.asarray(
+                        jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
+                    ))
+                if valid_px is not None:
+                    n_px_patched = int(np.asarray(
+                        jnp.sum(valid_px[0] >= 0)))
+            else:
+                plan = remap_fused.make_plan(
+                    rot, in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
+                    out_h=oh, out_w=ow, interp=interp, n_samples=1, tile_rows=tr,
+                    n_groups=ng, rb=rb, scan_unroll=su, cb=cb, channels=ch,
+                    with_rescue=use_rescue, rescue_budgets=budgets,
+                )
+                scalars, bad = plan[:2]
+                rescue = plan[2] if use_rescue else None
+                cap = 0
+                n_resc = 0
+                if use_rescue:
+                    n_resc = int(np.asarray(
+                        jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
+                    ))
+                    cap = max(128, -(-n_resc // 128) * 128) if n_resc else 0
             if zero_bad:
                 # Kernel-only rate probe: pretend every tile fits (output
                 # is WRONG in overflow regions — timing diagnostics only).
@@ -100,9 +128,10 @@ def main() -> int:
 
             @jax.jit
             def chain(src_, seed, _s=scalars, _b=bad, _r=rescue, _tr=tr,
-                      _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap, _bud=budgets):
+                      _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap, _bud=budgets,
+                      _vpx=valid_px):
                 return remap_fused.remap_tonemap_planned(
-                    src_ + seed * jnp.float32(1e-12), rot, _s, _b, _r,
+                    src_ + seed * jnp.float32(1e-12), rot, _s, _b, _r, _vpx,
                     in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                     interp=interp, n_samples=1, exposure=exposure,
                     reinhard=reinhard, tile_rows=_tr, n_groups=_ng, rb=_rb,
@@ -139,6 +168,8 @@ def main() -> int:
                 "rescue_cap": cap,
                 "rescued_subtiles": n_resc,
                 "rescue_budgets": list(budgets) if budgets else None,
+                "pixel_patch": valid_px is not None,
+                "patched_px": n_px_patched,
             }), flush=True)
         except Exception as e:
             print(json.dumps({
