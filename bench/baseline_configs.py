@@ -210,6 +210,7 @@ def main() -> int:
             "config": "5: 4K EXR directory end-to-end",
             "mpix_per_s": round(mpixps, 1), "frames": n_frames,
             "seconds": round(dt, 2),
+            "ordering": stats.ordering,
             "overlap_speedup": round(ser_dt / dt, 3),
             "serialized_seconds": round(ser_dt, 2),
             "h2d_seconds_per_frame": round(h2d_s, 3),

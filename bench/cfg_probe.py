@@ -9,6 +9,12 @@ Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p]]]] [...]
        (plan_with_rescue(pixel_patch=True): ladder-chosen budgets, so
        the explicit rng:rg fields are ignored; pass 0:0 placeholders)
 
+Env ILR_PROBE_FORCE_PX=1 pins the px cost constant to ~0 before
+planning so the cost-based admission cannot reject the pixel list —
+REQUIRED when the probe's purpose is to MEASURE the px cost (otherwise
+a fitted-constant rejection silently times the block path instead; the
+JSON's pixel_patch field records what actually ran).
+
 Prints one JSON line per tiling (chained iterations, fetch-overhead
 subtracted). Use to iterate on a single config without re-timing all five.
 """
@@ -38,6 +44,11 @@ def main() -> int:
     )
     from image_lens_reproject_tpu.models.rotation import rotation_matrix_degrees
     from image_lens_reproject_tpu.ops import remap_fused
+
+    import os
+    if os.environ.get("ILR_PROBE_FORCE_PX") == "1":
+        from image_lens_reproject_tpu.ops.pallas import remap_kernel as _RK
+        _RK._PX_PATCH_NS_PER_PX = 1e-3
 
     cfg = int(sys.argv[1])
     tilings = []

@@ -192,6 +192,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "it only with on-chip verification evidence for the "
                         "current kernel build (.onchip_verified.json).")
     g.add_argument("--json-log", action="store_true", help="Machine-readable JSON progress lines.")
+    g.add_argument("--ordering", choices=("overlap", "serial"), default="overlap",
+                   help="Stage ordering: 'overlap' pipelines decode/device/"
+                        "encode across host threads; 'serial' completes each "
+                        "frame before the next (faster on some serialized "
+                        "device links — measured both ways, see "
+                        "docs/PERFORMANCE.md).")
     return p
 
 
@@ -399,6 +405,7 @@ def _run(args) -> int:
         batch_size=args.batch_size,
         json_log=args.json_log,
         mesh=args.mesh,
+        ordering=args.ordering,
     )
 
     if args.input_dir:

@@ -327,6 +327,16 @@ _T128_CANDIDATES = ((128, 1, 24), (128, 1, 32), (128, 1, 40))
 _PATCH_NS_PER_PX = 28.7   # XLA-gather sampling of overflow tiles (ns/px;
                           # measured 28.81 cfg2 / 28.64 cfg4, r4 battery
                           # `git 878b492` fit.log)
+_PX_PATCH_NS_PER_PX = 113.0  # PIXEL-granular patch (ns per patched px):
+                          # the same sampling driven by an UNSTRUCTURED
+                          # (N,) coordinate list plus a per-pixel scatter,
+                          # measured r5 battery (cfg2px/cfg4px_r5.log):
+                          # cfg2 3ch wrap 113.0 (1.57M px), cfg4 4ch
+                          # clamp 68.2 (1.37M px) — ~2.4-3.9x the block
+                          # patch's 28.7, the individual-index scatter
+                          # dominating. Ranking-only (worst measured):
+                          # plan_with_rescue enables the pixel list only
+                          # when n_invalid * this < n_block_px * block.
 _RESCUE_NS_PER_PX = 23.7  # inert placeholder cost reported when no rescue
                           # entry applies (f_resc=0 rides with it); ranking
                           # uses rescue_cost_ns_per_px(ng, g, C, taps) per
@@ -1801,6 +1811,16 @@ def _remap_pallas_one(
     if valid_px is None:
         bad_ty, bad_h, bad_tx = jnp.nonzero(
             patch_mask, size=cap_padded, fill_value=-1)
+        # Rewrite fill slots as ascending out-of-grid tile rows (same
+        # scheme as the pixel list below): nonzero's row-major order
+        # makes the real (8, TC) block starts lexicographically sorted
+        # and non-overlapping, so the chunk scatter can claim sorted +
+        # unique instead of XLA's serializing collision-safe lowering.
+        t_slot = jnp.arange(bad_ty.shape[0], dtype=jnp.int32)
+        t_fill = bad_ty < 0
+        bad_ty = jnp.where(t_fill, n_ty + t_slot, bad_ty)
+        bad_h = jnp.where(t_fill, 0, bad_h)
+        bad_tx = jnp.where(t_fill, 0, bad_tx)
     else:
         # PIXEL-granular patch set: bad-sub-tile pixels the kernel did
         # not compute exactly (the per-pixel prepass refinement).
@@ -1836,6 +1856,20 @@ def _remap_pallas_one(
                 )
             bad_iy, bad_ix = valid_px[0], valid_px[1]
             n_bad_px = jnp.sum((bad_iy >= 0).astype(jnp.int32))
+        # Rewrite the -1 fill slots as ASCENDING out-of-grid rows: the
+        # real entries come from jnp.nonzero (row-major, so already
+        # lexicographically sorted and unique) and the rewritten fills
+        # extend that order past the last real row, which lets the
+        # per-pixel scatter below claim indices_are_sorted +
+        # unique_indices (XLA otherwise assumes collisions and lowers a
+        # serializing combine — the dominant share of the measured
+        # 113 ns/px, see _PX_PATCH_NS_PER_PX). FILL_OR_DROP still
+        # discards them: h_grid + slot >= the planar row count.
+        h_grid = n_ty * tile_rows
+        fill_slot = jnp.arange(bad_iy.shape[0], dtype=jnp.int32)
+        px_fill = bad_iy < 0
+        bad_iy = jnp.where(px_fill, h_grid + fill_slot, bad_iy)
+        bad_ix = jnp.where(px_fill, 0, bad_ix)
 
     # The kernel ALWAYS applies a rotation: identity when none was given
     # (bitwise-identical results — multiplying by exact identity is exact
@@ -1967,8 +2001,19 @@ def _remap_pallas_one(
             updates2 = jnp.transpose(
                 out2.reshape(c_ch, rescue_cap, 8, TC), (1, 0, 2, 3)
             )
+            # The rescued-slot starts come from row-major nonzero order
+            # (sorted, non-overlapping sub-tile windows); rewrite the -1
+            # fill slots as ascending out-of-grid rows so the scatter
+            # can claim sorted + unique — a collision-safe scatter of
+            # ~1k block updates serializes and was a prime suspect in
+            # the fitted 2.8 ms per-launch rescue overhead.
+            r_slot = jnp.arange(rescue_cap, dtype=jnp.int32)
+            r_fill = r_ty < 0
+            r_ty_s = jnp.where(r_fill, n_ty + r_slot, r_ty)
+            r_h_s = jnp.where(r_fill, 0, r_h)
+            r_tx_s = jnp.where(r_fill, 0, r_tx)
             starts2 = jnp.stack(
-                [r_ty * tile_rows + r_h * 8, r_tx * TC], axis=-1
+                [r_ty_s * tile_rows + r_h_s * 8, r_tx_s * TC], axis=-1
             )
             out_planar = jax.lax.scatter(
                 out_planar,
@@ -1979,8 +2024,8 @@ def _remap_pallas_one(
                     inserted_window_dims=(),
                     scatter_dims_to_operand_dims=(1, 2),
                 ),
-                indices_are_sorted=False,
-                unique_indices=False,
+                indices_are_sorted=True,
+                unique_indices=True,
                 mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
             )
 
@@ -2005,6 +2050,9 @@ def _remap_pallas_one(
                 base = c * px_chunk
                 iy_raw = jax.lax.dynamic_slice(bad_iy, (base,), (px_chunk,))
                 ix_raw = jax.lax.dynamic_slice(bad_ix, (base,), (px_chunk,))
+                # Fill slots were rewritten to ascending out-of-grid rows
+                # above; clamp them into range for the sampling math only
+                # (their scatter drops, FILL_OR_DROP).
                 gy = jnp.minimum(row0 + jnp.maximum(iy_raw, 0), out_h - 1)
                 ix = jnp.minimum(jnp.maximum(ix_raw, 0), out_w - 1)
                 cx = (ix.astype(jnp.float32) + jnp.float32(0.5)
@@ -2018,6 +2066,11 @@ def _remap_pallas_one(
                 vals = sampling_mod.sample(
                     src_back, sx, sy, interp, wrap_mode)  # (K, C)
                 idx = jnp.stack([iy_raw, ix_raw], axis=-1)
+                # Each chunk is a contiguous slice of the row-major
+                # nonzero list with ascending-unique fills, so the
+                # indices are lexicographically sorted and collision-free
+                # — declare it: a False unique_indices makes XLA lower a
+                # serializing combine per index.
                 return jax.lax.scatter(
                     planar,
                     idx,
@@ -2027,8 +2080,8 @@ def _remap_pallas_one(
                         inserted_window_dims=(1, 2),
                         scatter_dims_to_operand_dims=(1, 2),
                     ),
-                    indices_are_sorted=False,
-                    unique_indices=False,
+                    indices_are_sorted=True,
+                    unique_indices=True,
                     mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
                 )
 
@@ -2044,8 +2097,9 @@ def _remap_pallas_one(
             ty_raw = jax.lax.dynamic_slice(bad_ty, (base,), (patch_chunk,))
             hh_raw = jax.lax.dynamic_slice(bad_h, (base,), (patch_chunk,))
             tx_raw = jax.lax.dynamic_slice(bad_tx, (base,), (patch_chunk,))
-            # fill slots (-1) sample tile 0 but scatter out of bounds
-            # (start row -tile_rows), so FILL_OR_DROP discards them.
+            # Fill slots (rewritten to ascending out-of-grid tile rows)
+            # sample clamped coordinates but scatter out of bounds, so
+            # FILL_OR_DROP discards them.
             ty = jnp.maximum(ty_raw, 0)
             hh = jnp.maximum(hh_raw, 0)
             tx = jnp.maximum(tx_raw, 0)
@@ -2079,6 +2133,8 @@ def _remap_pallas_one(
             starts = jnp.stack(
                 [ty_raw * tile_rows + hh_raw * 8, tx_raw * TC], axis=-1
             )
+            # Sorted + unique: row-major nonzero order, non-overlapping
+            # (8, TC) windows, ascending-unique rewritten fills.
             return jax.lax.scatter(
                 planar,
                 starts,
@@ -2088,8 +2144,8 @@ def _remap_pallas_one(
                     inserted_window_dims=(),
                     scatter_dims_to_operand_dims=(1, 2),
                 ),
-                indices_are_sorted=False,
-                unique_indices=False,
+                indices_are_sorted=True,
+                unique_indices=True,
                 mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
             )
 

@@ -303,9 +303,12 @@ def plan_with_rescue(
     coordinate stack to pass straight to the planned entry points. It
     stays None when the plan is not scan-body (ww2/whole-window), when
     nothing is patched, when the invalid pixels exceed the 60% launch
-    cap (the launch takes full XLA anyway), or when granularity saves
-    <5% of the patched pixels (the sub-tile patch is then the same work
-    without the per-pixel scatter).
+    cap (the launch takes full XLA anyway), or when the MODELED pixel
+    patch loses to the sub-tile block patch: the unstructured per-pixel
+    scatter measures ~2.4-3.9x the block patch's per-pixel cost
+    (remap_kernel._PX_PATCH_NS_PER_PX, r5 on-chip probes), so the finer
+    granularity only pays when the truly-invalid fraction of the
+    patched blocks is small (< ~25% at the current constants).
     """
     import numpy as np
 
@@ -329,7 +332,14 @@ def plan_with_rescue(
             if (
                 0 < n_inv <= max_bad_px
                 and n_inv < cap_padded_px  # complete list, no truncation
-                and n_inv < 0.95 * bad_px
+                # Cost-based admission (r5 measured): the pixel list's
+                # unstructured sampling+scatter runs at _PX_PATCH_NS
+                # per patched pixel vs _PATCH_NS for the block patch —
+                # enabling it on a mostly-invalid patch set is a
+                # measured 2x net LOSS (cfg2 101.7 -> 45.2 Mpix/s,
+                # bench/recovery_out/cfg2px_r5.log).
+                and n_inv * RK._PX_PATCH_NS_PER_PX
+                    < bad_px * RK._PATCH_NS_PER_PX
             ):
                 valid_px = compact
         return scalars, bad, rescue, rescue_cap, budgets, valid_px
@@ -343,6 +353,32 @@ def plan_with_rescue(
     taps = RK._interp_taps(plan_kw.get("interp", "bicubic"))
     channels = plan_kw.get("channels", 3)
     patch_ns = RK._PATCH_NS_PER_PX
+    # JOINT ranking (r5): rescue competes against the CHEAPER of the two
+    # patch modes, not just the block patch. With pixel_patch requested,
+    # one no-rescue prepass measures the truly-invalid fraction f_inv of
+    # bad-sub-tile pixels (config-only); a sub-tile the rescue skips then
+    # costs min(block, f_inv * px) per pixel, which devalues rescue
+    # exactly when the pixel list is cheap (cfg2: 61% of patched pixels
+    # were never invalid). finish() still makes the exact px-vs-block
+    # call on the winner's remainder set.
+    eff_patch_ns = patch_ns
+    if pixel_patch:
+        tile_rows = plan_kw.get("tile_rows", RK.TR)
+        base = make_plan(rotation, with_rescue=False, pixel_valid=True,
+                         **plan_kw)
+        b_scalars, b_bad, b_vpx = base
+        if b_vpx is not None:
+            n_bad_sub = int(np.asarray(jnp.sum(b_bad)))
+            compact = RK.compact_valid_px(
+                b_bad, None, 0, b_vpx, tile_rows=tile_rows)
+            n_inv = int(np.asarray(jnp.sum(compact[0] >= 0)))
+            _, max_bad_px, cap_padded_px = RK._px_patch_sizes(
+                b_bad.shape[0] * tile_rows * b_bad.shape[2] * RK.TC)
+            if 0 < n_inv <= max_bad_px and n_inv < cap_padded_px \
+                    and n_bad_sub > 0:
+                f_inv = n_inv / float(n_bad_sub * 8 * RK.TC)
+                eff_patch_ns = min(
+                    patch_ns, f_inv * RK._PX_PATCH_NS_PER_PX)
     best = None  # (saving, plan, n_resc, budgets)
     for ng, g in RK.RESCUE_LADDER:
         if not RK.rescue_feasible(ng, g, channels, taps):
@@ -352,7 +388,7 @@ def plan_with_rescue(
             # XLA patch for those sub-tiles, never a compile crash.
             continue
         cost = RK.rescue_cost_ns_per_px(ng, g, channels, taps)
-        if cost >= patch_ns:
+        if cost >= eff_patch_ns:
             continue
         plan = make_plan(rotation, with_rescue=True,
                          rescue_budgets=(ng, g), **plan_kw)
@@ -362,16 +398,18 @@ def plan_with_rescue(
         # minus the fixed per-launch cost (fitted, see remap_kernel
         # _RESCUE_LAUNCH_NS) — a small rescue that does not clear the
         # launch overhead is a measured net loss (cfg4, `git 878b492`).
-        saving = n_adm * 1024 * (patch_ns - cost) - RK._RESCUE_LAUNCH_NS
+        saving = n_adm * 1024 * (eff_patch_ns - cost) - RK._RESCUE_LAUNCH_NS
         if (best is None or saving > best[0]) and saving > 0:
             best = (saving, plan, n_adm, (ng, g))
     if best is None:
-        # No ladder entry beats the patch for this (channels, taps) —
-        # e.g. very wide channel counts under bicubic.
-        plan = make_plan(rotation, with_rescue=False,
-                         pixel_valid=pixel_patch, **plan_kw)
-        vpx = plan[2] if pixel_patch else None
-        return finish(plan[0], plan[1], None, 0, None, vpx)
+        # No ladder entry beats the effective patch for this
+        # (channels, taps, f_inv) — e.g. very wide channel counts under
+        # bicubic, or a cheap pixel list (the upfront base plan is then
+        # reused; no duplicate prepass).
+        if pixel_patch:
+            return finish(b_scalars, b_bad, None, 0, None, b_vpx)
+        plan = make_plan(rotation, with_rescue=False, **plan_kw)
+        return finish(plan[0], plan[1], None, 0, None, None)
     scalars, bad, rescue = best[1]
     n_resc, budgets = best[2], best[3]
     rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0

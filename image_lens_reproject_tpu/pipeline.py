@@ -66,6 +66,17 @@ class PipelineOptions:
     # (batch x rows axes) or "auto" to use every visible device on the
     # batch axis when more than one is present; None disables.
     mesh: Optional[str] = None
+    # Stage ordering (framework extension): "overlap" runs decode /
+    # device dispatch / encode as overlapping stages across host threads
+    # (the reference's thread-pool analog, src/main.cpp:536-660);
+    # "serial" runs each frame decode->dispatch->encode to completion
+    # before the next starts. Overlap measured 1.362x serial on the r5
+    # tunnel battery (bench/recovery_out/baseline_r5.log) — but r4b
+    # measured the OPPOSITE (0.824-0.986x) on the same serialized
+    # ~40 MB/s link, so the faster order is transport-dependent; the
+    # knob exposes the choice and stats/JSON record it rather than
+    # auto-guessing from a noisy first-frame probe.
+    ordering: str = "overlap"
 
 
 def discover_files(
@@ -111,6 +122,7 @@ class PipelineStats:
         self.failed: List[str] = []
         self.pixels = 0
         self.wall_seconds = 0.0
+        self.ordering = "overlap"  # set by run_pipeline from the options
         self.json_log = json_log
         self._lock = threading.Lock()
 
@@ -514,7 +526,13 @@ def run_pipeline(
             continue
         todo.append((p, out_png, out_exr))
 
-    pool = ThreadPoolExecutor(max_workers=max(1, opts.num_threads))
+    if opts.ordering not in ("overlap", "serial"):
+        raise ValueError(
+            f"ordering must be 'overlap' or 'serial', got {opts.ordering!r}")
+    serial = opts.ordering == "serial"
+    stats.ordering = opts.ordering
+    pool = ThreadPoolExecutor(
+        max_workers=1 if serial else max(1, opts.num_threads))
 
     def decode_one(item):
         p, out_png, out_exr = item
@@ -525,7 +543,12 @@ def run_pipeline(
         except Exception as e:  # per-image isolation
             return (p, out_png, out_exr, None, e)
 
-    decoded_iter = pool.map(decode_one, todo)
+    # "overlap": pool.map prefetches decodes across threads while the
+    # device works and encodes are submitted asynchronously below.
+    # "serial": decode lazily on the consumer thread, one frame fully
+    # finishing (including its encode) before the next decode starts.
+    decoded_iter = (
+        map(decode_one, todo) if serial else pool.map(decode_one, todo))
 
     # Stage 2+3: batch device dispatch, then encode on host threads.
     pending_writes = []
@@ -549,7 +572,10 @@ def run_pipeline(
                     stats.mark_done(count, p.stem, pixels=img.shape[0] * img.shape[1])
                 except Exception as e:
                     stats.mark_failed(p.name, e)
-            pending_writes.append(pool.submit(write_and_count))
+            if serial:
+                write_and_count()
+            else:
+                pending_writes.append(pool.submit(write_and_count))
 
     current_shape = None
     for p, out_png, out_exr, buf, err in decoded_iter:

@@ -92,3 +92,48 @@ def test_failures_do_not_stall_overlap(tmp_path, monkeypatch):
     assert stats.failed == ["frame002.exr"]
     serialized = N_FRAMES * (DECODE_S + DEVICE_S + ENCODE_S)
     assert stats.wall_seconds < 0.65 * serialized
+
+
+def test_serial_ordering(tmp_path, monkeypatch):
+    """ordering='serial' completes each frame before the next decode
+    starts (for serialized device links where overlap measured slower,
+    r4b battery) and the choice is recorded on the stats."""
+    img = np.zeros((16, 16, 3), np.float32)
+    events = []
+
+    def fake_read(path):
+        events.append(("decode", path.name))
+        return ImageBuffer(img.copy(), DataLayout.RGB)
+
+    def fake_process(images, opts):
+        return [i.copy() for i in images]
+
+    def fake_write(out, layout, opts, out_png, out_exr):
+        events.append(("write", out_png.stem))
+
+    monkeypatch.setattr(pipeline, "read_image", fake_read)
+    monkeypatch.setattr(pipeline, "process_batch", fake_process)
+    monkeypatch.setattr(pipeline, "write_outputs", fake_write)
+
+    opts = _opts(tmp_path)
+    opts.ordering = "serial"
+    paths = [Path(f"/nonexistent/frame{i:03d}.exr") for i in range(4)]
+    stats = pipeline.run_pipeline(paths, str(tmp_path / "out"), opts)
+    assert stats.done == 4 and not stats.failed
+    assert stats.ordering == "serial"
+    # strict alternation: decode_i, write_i, decode_{i+1}, ...
+    assert events == [
+        ev for i in range(4)
+        for ev in (("decode", f"frame{i:03d}.exr"), ("write", f"frame{i:03d}"))
+    ]
+
+
+def test_bad_ordering_rejected(tmp_path):
+    opts = _opts(tmp_path)
+    opts.ordering = "speedy"
+    try:
+        pipeline.run_pipeline([], str(tmp_path / "out"), opts)
+    except ValueError as e:
+        assert "ordering" in str(e)
+    else:
+        raise AssertionError("invalid ordering must raise")

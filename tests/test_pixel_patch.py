@@ -206,12 +206,17 @@ class TestPlannedPixelPatch:
         np.testing.assert_array_equal(got[1, :n], ix)
         assert (got[:, n:] == -1).all()
 
-    def test_planned_equals_inline_and_xla(self):
+    def test_planned_equals_inline_and_xla(self, monkeypatch):
         src = jnp.asarray(smooth(128, 256, 3, seed=8))
         rot = jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0))
         kw = dict(in_lens=EQUIRECT, out_lens=EQUIDIST, out_h=160,
                   out_w=160, interp="bilinear", n_samples=1)
         tiling = dict(tile_rows=8, n_groups=2, rb=40, scan_unroll=8)
+        # This test pins the PLUMBING (planned == inline == XLA), not the
+        # cost chooser: pin the px cost to the block cost so the fixture
+        # (f_inv ~ 0.76) is admitted regardless of the fitted constants
+        # (test_px_admission_is_cost_based covers the chooser).
+        monkeypatch.setattr(RK, "_PX_PATCH_NS_PER_PX", RK._PATCH_NS_PER_PX)
         (scalars, bad, rescue, cap, budgets, valid_px) = (
             remap_fused.plan_with_rescue(
                 rot, use_rescue=False, pixel_patch=True,
@@ -232,7 +237,7 @@ class TestPlannedPixelPatch:
         err = np.abs(got - want)
         assert np.quantile(err, 0.999) < 1e-4
 
-    def test_planned_with_rescue_matches_xla(self):
+    def test_planned_with_rescue_matches_xla(self, monkeypatch):
         # Rescue + pixel patch together: rescued sub-tiles are computed
         # exactly by pass 2 and must NOT appear in the pixel patch list.
         src = jnp.asarray(smooth(128, 256, 3, seed=9))
@@ -240,6 +245,7 @@ class TestPlannedPixelPatch:
         kw = dict(in_lens=EQUIRECT, out_lens=EQUIDIST, out_h=160,
                   out_w=160, interp="bilinear", n_samples=1)
         tiling = dict(tile_rows=8, n_groups=2, rb=40, scan_unroll=8)
+        monkeypatch.setattr(RK, "_PX_PATCH_NS_PER_PX", RK._PATCH_NS_PER_PX)
         (scalars, bad, rescue, cap, budgets, valid_px) = (
             remap_fused.plan_with_rescue(
                 rot, use_rescue=True, pixel_patch=True,
@@ -265,6 +271,53 @@ class TestPlannedPixelPatch:
         err = np.abs(got - want)
         assert np.quantile(err, 0.999) < 1e-4
         assert (err.max(axis=-1) > 1e-3).mean() < 1e-3
+
+    def test_px_admission_is_cost_based(self, monkeypatch):
+        # The chooser admits the pixel list only when its modeled cost
+        # beats the sub-tile block patch: n_inv * px_ns < bad_px *
+        # block_ns. This fixture's invalid fraction is ~0.76, so the
+        # r5-measured constants (px ~3.9x block) must REJECT it, and a
+        # px cost pinned at the block cost must ADMIT it. Guards the
+        # measured 2x regression (cfg2 101.7 -> 45.2 Mpix/s,
+        # bench/recovery_out/cfg2px_r5.log) from returning.
+        rot = jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=EQUIDIST,
+                  in_h=128, in_w=256, out_h=160, out_w=160,
+                  interp="bilinear", n_samples=1, channels=3,
+                  tile_rows=8, n_groups=2, rb=40, scan_unroll=8)
+        out = remap_fused.plan_with_rescue(
+            rot, use_rescue=False, pixel_patch=True, **kw)
+        assert out[5] is None, "f_inv ~0.76 must lose to the block patch"
+        monkeypatch.setattr(RK, "_PX_PATCH_NS_PER_PX", RK._PATCH_NS_PER_PX)
+        out = remap_fused.plan_with_rescue(
+            rot, use_rescue=False, pixel_patch=True, **kw)
+        assert out[5] is not None
+
+    def test_rescue_ladder_uses_effective_patch_cost(self, monkeypatch):
+        # JOINT ranking: a cheap pixel list devalues rescue (a skipped
+        # sub-tile then costs f_inv * px_ns, not the full block patch).
+        # With px pinned ~free, every ladder entry's margin goes
+        # negative and the plan must drop rescue in favor of the pixel
+        # list; with px pinned huge, the block-patch ranking is
+        # unchanged (rescue stays if it was winning).
+        rot = jnp.asarray(rotation_matrix_degrees(30.0, 10.0, 5.0))
+        kw = dict(in_lens=EQUIRECT, out_lens=EQUIDIST,
+                  in_h=128, in_w=256, out_h=160, out_w=160,
+                  interp="bilinear", n_samples=1, channels=3,
+                  tile_rows=8, n_groups=2, rb=40, scan_unroll=8)
+        monkeypatch.setattr(RK, "_PX_PATCH_NS_PER_PX", 1e-3)
+        out = remap_fused.plan_with_rescue(
+            rot, use_rescue=True, pixel_patch=True, **kw)
+        assert out[2] is None and out[3] == 0
+        assert out[5] is not None
+        monkeypatch.setattr(RK, "_PX_PATCH_NS_PER_PX", 1e9)
+        base = remap_fused.plan_with_rescue(
+            rot, use_rescue=True, pixel_patch=False, **kw)
+        out = remap_fused.plan_with_rescue(
+            rot, use_rescue=True, pixel_patch=True, **kw)
+        assert out[5] is None
+        assert (out[2] is None) == (base[2] is None)
+        assert out[4] == base[4]
 
     def test_ww2_plan_returns_no_valid_px(self):
         # ww2/whole-window bodies have no per-pixel exactness model; the
