@@ -38,7 +38,7 @@ TARGET_MPIX_S = 2000.0
 SRC_H, SRC_W = 1920, 3840
 OUT_H, OUT_W = 2160, 3840
 INTERP = "bicubic"
-REPS = 4
+REPS = 6  # median of 5 steady reps; r5a's 4-rep spread was ±1.5%
 ITERS_PER_REP = 50
 FIRST_FETCH_TIMEOUT_S = 900.0
 FETCH_TIMEOUT_S = 120.0

@@ -1,6 +1,6 @@
 """Probe one BASELINE config on the real chip with explicit tilings.
 
-Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p]]]] [...]
+Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p[:c]]]]] [...]
   cfg in {1, 2, 3, 4}   (see bench/baseline_configs.py)
   z=1: zero the bad mask (kernel-only rate; WRONG pixels — timing only)
   r=1: enable the pass-2 rescue (cap auto-sized from the plan)
@@ -8,6 +8,9 @@ Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p]]]] [...]
   p=1: PIXEL-granular patch — the full product plan path
        (plan_with_rescue(pixel_patch=True): ladder-chosen budgets, so
        the explicit rng:rg fields are ignored; pass 0:0 placeholders)
+  c=N: override the config's channel count (timing experiments — e.g.
+       cfg4 z=1 at c=3 vs c=4 bounds the per-column channel share the
+       4-channel lane-packing idea could recover)
 
 Env ILR_PROBE_FORCE_PX=1 pins the px cost constant to ~0 before
 planning so the cost-based admission cannot reject the pixel list —
@@ -59,8 +62,9 @@ def main() -> int:
         use_rescue = bool(parts[6]) if len(parts) > 6 else False
         budgets = (parts[7], parts[8]) if len(parts) > 8 and parts[7] else None
         pixel = bool(parts[9]) if len(parts) > 9 else False
+        ch_over = parts[10] if len(parts) > 10 else 0
         tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue, budgets,
-                        pixel))
+                        pixel, ch_over))
 
     EQUIRECT = full_equirectangular()
     if cfg == 1:
@@ -91,8 +95,13 @@ def main() -> int:
     rot = None if rot_np is None else jnp.asarray(rot_np)
 
     overhead = None
-    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets, pixel in tilings:
+    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets, pixel, ch_over \
+            in tilings:
         try:
+            if ch_over and ch_over != ch:
+                ch = ch_over
+                src = jnp.asarray(
+                    rng.uniform(0, 2, (ih, iw, ch)).astype(np.float32))
             valid_px = None
             n_px_patched = None
             if pixel:
@@ -172,7 +181,7 @@ def main() -> int:
             steady = rates[1:] if len(rates) > 1 else rates
             print(json.dumps({
                 "cfg": cfg, "tile_rows": tr, "n_groups": ng, "rb": rb,
-                "scan_unroll": su, "cb": cb,
+                "scan_unroll": su, "cb": cb, "channels": ch,
                 "mpix_s": round(float(np.median(steady)), 1),
                 "reps": [round(r, 1) for r in rates],
                 "frac_bad_subtiles": round(frac_bad, 4),
