@@ -192,13 +192,18 @@ def rescue_cost_ns_per_px(ng: int, g: int, channels: int, taps: int) -> float:
 
 
 # Fixed per-launch cost of the pass-2 rescue (prepass slot compaction,
-# scatter landing, launch overhead) — fitted jointly with the 2.66 op
-# scale from the cfg2/cfg4 on-chip fit triples (`git 878b492`): the
-# per-rescued-pixel cost rises 23.74 -> 34.08 ns as the rescued set
-# shrinks 1.81M -> 0.44M px at a 1.247x op ratio, which a per-pixel
-# model alone cannot produce. Both budget choosers subtract this from
-# the modeled saving, so small rescues are correctly unprofitable.
-_RESCUE_LAUNCH_NS = 2.8e6
+# scatter landing, launch overhead). r4 fitted 2.8 ms jointly with the
+# 2.66 op scale (`git 878b492`); after the sorted/unique scatter landing
+# (`git de27230`) the r5 cap-sweep probe (bench/rescue_launch_probe.py,
+# bench/recovery_out/rescueprof2_r5b.log) isolated the fixed term
+# directly: launch_fixed = 1.264 ms on cfg2 (30-iter chained reps; the
+# cfg4 sweep's -1.6 ms intercept is rep noise on a 2.7 ms-total bill and
+# is discarded). Both budget choosers subtract this from the modeled
+# saving, so rescues that cannot clear the launch stay rejected — at
+# 1.26 ms cfg4's full-frame (8,6) rescue now clears (measured win:
+# 83.8 -> 84.4-88.7 Mpix/s, rescueprof4_r5b.log) while small frames
+# (< ~120 admitted sub-tiles at bilinear margins) stay vetoed.
+_RESCUE_LAUNCH_NS = 1.26e6
 
 
 RESCUE_RB = _rescue_rb(RESCUE_NG)  # default-budget block half-height (40)

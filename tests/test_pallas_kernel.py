@@ -571,13 +571,14 @@ class TestKernelGolden:
             assert np.quantile(err, 0.999) < 1e-4
 
     def test_rescue_launch_cost_economics(self, monkeypatch):
-        # The fitted per-launch cost (r4 on-chip fit triples, git
-        # 878b492: the per-rescued-px cost rises 23.7 -> 34.1 ns as the
-        # rescued set shrinks 1.81M -> 0.44M px) must make SMALL rescues
-        # unprofitable: the same small-frame config that rescues with the
-        # launch cost pinned to 0 must rescue nothing under the fitted
-        # constant — mirroring the measured cfg4 net loss (83.7 -> 79.9
-        # Mpix/s with rescue on).
+        # The fitted per-launch cost (r5 cap-sweep isolation, 1.264 ms —
+        # bench/recovery_out/rescueprof2_r5b.log; was 2.8 ms in r4) must
+        # make SMALL rescues unprofitable: the same small-frame config
+        # that rescues with the launch cost pinned to 0 must rescue
+        # nothing under the fitted constant. (At full 2048^2 frames the
+        # same cfg4 geometry clears the 1.26 ms launch and IS rescued —
+        # a measured win, 83.8 -> 84.4-88.7 Mpix/s, rescueprof4_r5b.log;
+        # here the max possible saving is ~0.7 ms.)
         from image_lens_reproject_tpu.ops import remap_fused
         from image_lens_reproject_tpu.ops.pallas import remap_kernel as RKm
 
