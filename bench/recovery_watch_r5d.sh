@@ -1,20 +1,26 @@
 #!/bin/sh
-# Chip battery (round 5d): bound the 4-channel lane-packing lever.
+# Chip battery (round 5d): re-attest the digest-coverage fix, then
+# bound the 4-channel lane-packing lever.
 #
-# VERDICT r4 #6 asks for a measured cfg4 kernel-only improvement from
-# lane-packing RGBZ tiles, or a probe-backed dead-end/ceiling entry.
-# cfg4's bill is patch-bound (kernel/rest 1.4 of 11.9 ns/px), so the
-# honest first step is to MEASURE the channel share of the kernel-only
-# rate: cfg4 at z=1 (bad mask zeroed — timing-only) with the channel
-# count overridden to 3/4/5 at the same tiling. The c=3 vs c=4 delta
-# IS the per-channel cost lane packing could at best recover (packing
-# shares index math across channels; it cannot beat the c-invariant
-# floor). Also probes cfg2 z=1 c=3 vs c=4 for a second anchor.
+# Two jobs:
+#   1. verify_onchip — ops/dispatch._KERNEL_SOURCES now includes
+#      pallas/ww2.py (it was missing: a ww2.py edit would NOT have
+#      invalidated the marker, the same attestation-soundness class as
+#      VERDICT r4 #4). Including it changes the digest, so the r5c
+#      marker no longer matches; this step writes a fresh marker that
+#      attests ALL kernel sources.
+#   2. Channel-scaling probes (VERDICT r4 #6): cfg4 kernel-only (z=1,
+#      bad mask zeroed — timing only) at channel counts 3/4/5 and cfg2
+#      at 3/4. The c=3 vs c=4 delta IS the per-channel distribution
+#      share that lane-packing RGBZ tiles could at best recover
+#      (packing shares index math across channels; it cannot beat the
+#      c-invariant floor). cfg4's bill is patch-bound (kernel/rest 1.4
+#      of 11.9 ns/px), so this bounds the lever before building it.
 #
 # Waits for DONE_r5c so it never shares the chip with the r5c battery.
 #
 # Launch detached: nohup sh bench/recovery_watch_r5d.sh >/tmp/recovery_r5d.log 2>&1 &
-# Results: bench/recovery_out/chan_r5d.log, DONE_r5d at the end.
+# Results: bench/recovery_out/{verify,chan4,chan2}_r5d.log, DONE_r5d.
 
 set -u
 cd /root/repo
@@ -57,6 +63,7 @@ run() {
     return $rc
 }
 
+run verify python bench/verify_onchip.py
 # cfg4 kernel-only channel scaling (z=1 timing-only; c overrides C):
 run chan4 python bench/cfg_probe.py 4 \
     16:1:16:32:256:1 \

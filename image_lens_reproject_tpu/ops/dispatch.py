@@ -40,6 +40,7 @@ _KERNEL_SOURCES = (
     "pallas/remap_kernel.py",
     "pallas/taps.py",
     "pallas/kernel_math.py",
+    "pallas/ww2.py",
     "remap_fused.py",
 )
 _MARKER_PATH = Path(__file__).resolve().parents[2] / ".onchip_verified.json"

@@ -34,6 +34,20 @@ def test_digest_is_stable_and_kernel_source_sensitive():
         assert (base / rel).is_file(), rel
 
 
+def test_digest_covers_every_pallas_source():
+    # Every kernel-side module must be in the attested set: a module
+    # absent from _KERNEL_SOURCES can be edited without invalidating
+    # the marker — the same attestation-soundness class as the round-4
+    # mid-battery-edit race (pallas/ww2.py was missing until round 5).
+    # __init__.py is exempt: a pure re-export surface with no kernel
+    # code.
+    base = Path(dispatch.__file__).resolve().parent
+    pallas = {f"pallas/{p.name}" for p in (base / "pallas").glob("*.py")
+              if p.name != "__init__.py"}
+    assert pallas <= set(dispatch._KERNEL_SOURCES), (
+        pallas - set(dispatch._KERNEL_SOURCES))
+
+
 def test_no_marker_means_disabled(marker):
     assert not dispatch.rescue_verified()
     assert not dispatch.rescue_enabled()
