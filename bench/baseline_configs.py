@@ -79,26 +79,31 @@ def main() -> int:
 
         use_rescue = dispatch.rescue_enabled()
         use_pixel_patch = dispatch.pixel_patch_enabled()
+        use_split = use_rescue and dispatch.split_enabled()
         tile_rows, n_groups, rb, scan_unroll, cb = remap_kernel.suggest_tiling(
             in_lens, out_lens, ih, iw, oh, ow, rot_np, interp,
             channels=channels, with_rescue=use_rescue,
         )
         # One shared plan construction path with the pipeline/bench.py.
-        scalars, bad, rescue, rescue_cap, budgets, valid_px = remap_fused.plan_with_rescue(
+        plan = remap_fused.plan_with_rescue(
             rot, use_rescue=use_rescue, pixel_patch=use_pixel_patch,
+            split=use_split,
             in_lens=in_lens, out_lens=out_lens, in_h=ih, in_w=iw,
             out_h=oh, out_w=ow, interp=interp, n_samples=1,
             tile_rows=tile_rows, n_groups=n_groups, rb=rb,
             scan_unroll=scan_unroll, cb=cb, channels=channels,
         )
+        scalars, bad, rescue, rescue_cap, budgets, valid_px = plan[:6]
+        split_f, split_cap = (plan[6], plan[7]) if use_split else (None, 0)
         n_resc = 0
         if rescue is not None:
             n_resc = int(np.asarray(jnp.sum(jnp.logical_and(bad, rescue[3] > 0))))
 
         def fn(s):
             return remap_fused.remap_tonemap_planned(
-                s, rot, scalars, bad, rescue, valid_px, rescue_cap=rescue_cap,
-                rescue_budgets=budgets,
+                s, rot, scalars, bad, rescue, valid_px, split_f,
+                rescue_cap=rescue_cap,
+                rescue_budgets=budgets, split_cap=split_cap,
                 in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                 interp=interp, n_samples=1, exposure=exposure, reinhard=reinhard,
                 tile_rows=tile_rows, n_groups=n_groups, rb=rb,
@@ -108,12 +113,19 @@ def main() -> int:
         f = jax.jit(fn)
         dt, _ = time_device(f, src, iters)
         mpixps = oh * ow * iters / dt / 1e6
+        n_split = 0
+        if split_f is not None:
+            pm = jnp.logical_and(bad, jnp.logical_not(
+                remap_kernel._rescue_taken(bad, rescue, rescue_cap)))
+            n_split = int(np.asarray(jnp.sum(jnp.logical_and(
+                pm, jnp.all(split_f[3] > 0, axis=3)))))
         print(json.dumps({
             "config": name, "mpix_per_s": round(mpixps, 1),
             "tile_rows": tile_rows, "groups": n_groups, "rb": rb,
             "scan_unroll": scan_unroll, "cb": cb, "interp": interp,
             "rescued_subtiles": n_resc, "rescue_enabled": use_rescue,
             "rescue_budgets": list(budgets) if budgets else None,
+            "split_subtiles": n_split, "split_enabled": use_split,
             "pixel_patch": valid_px is not None,
             "patched_px": (
                 int(np.asarray(jnp.sum(valid_px[0] >= 0)))

@@ -11,6 +11,9 @@ Usage: python bench/cfg_probe.py <cfg> tr:ng:rb:su:cb[:z[:r[:rng:rg[:p[:c]]]]] [
   c=N: override the config's channel count (timing experiments — e.g.
        cfg4 z=1 at c=3 vs c=4 bounds the per-column channel share the
        4-channel lane-packing idea could recover)
+  s=1: pass-2b SPLIT rescue — the full product plan path
+       (plan_with_rescue(split=True): ladder-chosen budgets; the
+       explicit rng:rg fields are ignored; pass placeholders)
 
 Env ILR_PROBE_FORCE_PX=1 pins the px cost constant to ~0 before
 planning so the cost-based admission cannot reject the pixel list —
@@ -63,8 +66,9 @@ def main() -> int:
         budgets = (parts[7], parts[8]) if len(parts) > 8 and parts[7] else None
         pixel = bool(parts[9]) if len(parts) > 9 else False
         ch_over = parts[10] if len(parts) > 10 else 0
+        split_probe = bool(parts[11]) if len(parts) > 11 else False
         tilings.append((tr, ng, rb, su, cb, zero_bad, use_rescue, budgets,
-                        pixel, ch_over))
+                        pixel, ch_over, split_probe))
 
     EQUIRECT = full_equirectangular()
     if cfg == 1:
@@ -95,8 +99,8 @@ def main() -> int:
     rot = None if rot_np is None else jnp.asarray(rot_np)
 
     overhead = None
-    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets, pixel, ch_over \
-            in tilings:
+    for tr, ng, rb, su, cb, zero_bad, use_rescue, budgets, pixel, ch_over, \
+            split_probe in tilings:
         try:
             if ch_over and ch_over != ch:
                 ch = ch_over
@@ -104,7 +108,34 @@ def main() -> int:
                     rng.uniform(0, 2, (ih, iw, ch)).astype(np.float32))
             valid_px = None
             n_px_patched = None
-            if pixel:
+            split_f, split_cap, n_split = None, 0, 0
+            if split_probe:
+                # s=1: the full product plan path with the pass-2b split
+                # rescue (plan_with_rescue(split=True) — ladder-chosen
+                # budgets; explicit rng:rg fields are ignored).
+                plan8 = remap_fused.plan_with_rescue(
+                    rot, use_rescue=use_rescue, split=True,
+                    in_lens=in_lens, out_lens=out_lens, in_h=ih,
+                    in_w=iw, out_h=oh, out_w=ow, interp=interp,
+                    n_samples=1, tile_rows=tr, n_groups=ng, rb=rb,
+                    scan_unroll=su, cb=cb, channels=ch,
+                )
+                (scalars, bad, rescue, cap, budgets, valid_px,
+                 split_f, split_cap) = plan8
+                n_resc = 0
+                if rescue is not None:
+                    n_resc = int(np.asarray(
+                        jnp.sum(jnp.logical_and(bad, rescue[3] > 0))
+                    ))
+                if split_f is not None:
+                    from image_lens_reproject_tpu.ops.pallas import (
+                        remap_kernel as _RKP,
+                    )
+                    pm = jnp.logical_and(bad, jnp.logical_not(
+                        _RKP._rescue_taken(bad, rescue, cap)))
+                    n_split = int(np.asarray(jnp.sum(jnp.logical_and(
+                        pm, jnp.all(split_f[3] > 0, axis=3)))))
+            elif pixel:
                 # The full product plan path: ladder-chosen budgets +
                 # plan-time pixel compaction (explicit budgets ignored).
                 (scalars, bad, rescue, cap, budgets, valid_px) = (
@@ -149,14 +180,15 @@ def main() -> int:
             @jax.jit
             def chain(src_, seed, _s=scalars, _b=bad, _r=rescue, _tr=tr,
                       _ng=ng, _rb=rb, _su=su, _cb=cb, _cap=cap, _bud=budgets,
-                      _vpx=valid_px):
+                      _vpx=valid_px, _sf=split_f, _scap=split_cap):
                 return remap_fused.remap_tonemap_planned(
                     src_ + seed * jnp.float32(1e-12), rot, _s, _b, _r, _vpx,
+                    _sf,
                     in_lens=in_lens, out_lens=out_lens, out_h=oh, out_w=ow,
                     interp=interp, n_samples=1, exposure=exposure,
                     reinhard=reinhard, tile_rows=_tr, n_groups=_ng, rb=_rb,
                     scan_unroll=_su, cb=_cb, rescue_cap=_cap,
-                    rescue_budgets=_bud,
+                    rescue_budgets=_bud, split_cap=_scap,
                 )
 
             out = chain(src, jnp.float32(0.0))
@@ -188,6 +220,8 @@ def main() -> int:
                 "rescue_cap": cap,
                 "rescued_subtiles": n_resc,
                 "rescue_budgets": list(budgets) if budgets else None,
+                "split_cap": split_cap,
+                "split_subtiles": n_split,
                 "pixel_patch": valid_px is not None,
                 "patched_px": n_px_patched,
             }), flush=True)

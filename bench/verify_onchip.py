@@ -120,6 +120,15 @@ def main() -> int:
         ("equirect->equidist VPX tr8", EQUIRECT, EQUIDIST, "bilinear", rot2, (256, 512), (320, 320), 8, 2, 40),
         ("equisolid->equirect VPX tr24 clamp", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
         ("equisolid->equirect VPX+RESCUE", EQUISOLID, EQUIRECT, "bilinear", rot2, (512, 512), (512, 1024), 24, 2, 40),
+        # pass-2b SPLIT rescue (split_cap > 0): per-piece window DMAs
+        # into 4-D scratch, per-half lane/vertical rolls, lane-half-
+        # selected index bases — new Mosaic surface interpret mode
+        # cannot vouch for (dispatch.split_verified gates the planner).
+        # Cases: the cfg2 shape (cluster-jump seam windows), its bicubic
+        # variant (4-tap drift), and a 4-channel cfg4-like annulus.
+        ("equisolid->equirect SPLIT bl", EQUISOLID, EQUIRECT, "bilinear", rot2, (768, 768), (768, 1536), 24, 3, 40),
+        ("equisolid->equirect SPLIT bc", EQUISOLID, EQUIRECT, "bicubic", rot2, (1024, 1024), (1024, 2048), 24, 3, 40),
+        ("rect->equisolid SPLIT 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (768, 768), (768, 768), 16, 1, 16),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -131,6 +140,9 @@ def main() -> int:
         "equirect->equidist VPX tr8": 8,
         "equisolid->equirect VPX tr24 clamp": 8,
         "equisolid->equirect VPX+RESCUE": 8,
+        "equisolid->equirect SPLIT bl": 32,
+        "equisolid->equirect SPLIT bc": 32,
+        "rect->equisolid SPLIT 4ch": 32,
         "equirect->rect bicubic WW T32 ng1": -1,
         "equirect->rect seam180 bl WW": -1,
         "equisolid->equirect bl WW g2": -2,
@@ -145,6 +157,9 @@ def main() -> int:
     }
     # rescue_cap override: > 0 enables the pass-2 compact rescue launch.
     cap_for = {
+        "equisolid->equirect SPLIT bl": 128,
+        "equisolid->equirect SPLIT bc": 384,
+        "rect->equisolid SPLIT 4ch": 128,
         "equisolid->equirect VPX+RESCUE": 512,
         "rect->equisolid RESCUE": 512,
         "equisolid->equirect rot RESCUE": 512,
@@ -172,6 +187,10 @@ def main() -> int:
     vpx_names = {"equirect->equidist VPX tr8",
                  "equisolid->equirect VPX tr24 clamp",
                  "equisolid->equirect VPX+RESCUE"}
+    # pass-2b split-rescue cases: split_cap > 0 (budgets default (8, 6)).
+    split_cap_for = {"equisolid->equirect SPLIT bl": 256,
+                     "equisolid->equirect SPLIT bc": 256,
+                     "rect->equisolid SPLIT 4ch": 128}
 
     import zlib
 
@@ -179,12 +198,16 @@ def main() -> int:
     ww2_failures = 0
     t128_failures = 0
     vpx_failures = 0
+    split_failures = 0
 
-    def bucket(is_ww2, is_t128, is_vpx=False):
+    def bucket(is_ww2, is_t128, is_vpx=False, is_split=False):
         # most-specific feature owns the failure: a tr=128 failure must
         # not withhold the ww2/rescue attestations (and vice versa)
-        nonlocal failures, ww2_failures, t128_failures, vpx_failures
-        if is_vpx:
+        nonlocal failures, ww2_failures, t128_failures, vpx_failures, \
+            split_failures
+        if is_split:
+            split_failures += 1
+        elif is_vpx:
             vpx_failures += 1
         elif is_t128:
             t128_failures += 1
@@ -199,6 +222,7 @@ def main() -> int:
         is_ww2 = su <= -17  # remap_kernel._WW2_BASE encoding
         is_t128 = trows >= 128
         is_vpx = name in vpx_names
+        is_split = name in split_cap_for
         # crc32, not hash(): PYTHONHASHSEED randomizes hash() per process,
         # which would verify different pixel data every battery run and
         # make a marginal failure unreproducible.
@@ -213,12 +237,13 @@ def main() -> int:
                 rescue_cap=cap_for.get(name, 0),
                 rescue_budgets=budget_for.get(name),
                 pixel_patch=is_vpx,
+                split_cap=split_cap_for.get(name, 0),
             )
             got = np.asarray(out)
         except Exception as e:  # compile crash must not kill the battery
             print(f"{name:40s} EXCEPTION {type(e).__name__}: "
                   f"{str(e)[:160]} FAIL", flush=True)
-            bucket(is_ww2, is_t128, is_vpx)
+            bucket(is_ww2, is_t128, is_vpx, is_split)
             continue
         want = oracle.oracle_remap(
             src, r, in_lens=il, out_lens=ol,
@@ -231,16 +256,17 @@ def main() -> int:
         print(f"{name:40s} p999={p999:.2e} frac>1e-3={frac_bad:.2e} "
               f"max={err.max():.2e} {'OK' if ok else 'FAIL'}", flush=True)
         if not ok:
-            bucket(is_ww2, is_t128, is_vpx)
+            bucket(is_ww2, is_t128, is_vpx, is_split)
     # An honest verdict: PASS only when EVERY bucket is clean (a clean
     # base with ww2/t128/vpx failures previously printed "PASS" and was
     # easy to misread in recovery logs — ADVICE r4).
-    any_fail = failures + ww2_failures + t128_failures + vpx_failures
+    any_fail = (failures + ww2_failures + t128_failures + vpx_failures
+                + split_failures)
     verdict = "PASS" if any_fail == 0 else (
         "PARTIAL" if failures == 0 else f"FAIL ({failures})")
     print(f"RESULT: {verdict} (base failures: {failures}, "
           f"ww2: {ww2_failures}, t128: {t128_failures}, "
-          f"vpx: {vpx_failures})")
+          f"vpx: {vpx_failures}, split: {split_failures})")
     # Record the hardware-exactness evidence: a zero-failure run on a
     # real TPU writes .onchip_verified.json (keyed by a digest of the
     # kernel sources), which is what lets the pipeline/bench enable the
@@ -254,13 +280,15 @@ def main() -> int:
                                      failures, ww2_failures=ww2_failures,
                                      t128_failures=t128_failures,
                                      vpx_failures=vpx_failures,
+                                     split_failures=split_failures,
                                      start_digest=start_digest)
         if failures == 0:
             print("onchip marker written: rescue enabled for current "
                   "kernel sources"
                   + ("" if ww2_failures else "; ww2 attested")
                   + ("" if t128_failures else "; t128 attested")
-                  + ("" if vpx_failures else "; vpx attested"))
+                  + ("" if vpx_failures else "; vpx attested")
+                  + ("" if split_failures else "; split attested"))
     return 0 if any_fail == 0 else 1
 
 

@@ -94,6 +94,7 @@ def write_onchip_marker(platform: str, battery: str, failures: int,
                         ww2_failures: int = 0,
                         t128_failures: int = -1,
                         vpx_failures: int = -1,
+                        split_failures: int = -1,
                         start_digest: str = "") -> None:
     """Record an on-chip verification result (bench/verify_onchip.py).
 
@@ -132,6 +133,7 @@ def write_onchip_marker(platform: str, battery: str, failures: int,
         "ww2_failures": ww2_failures,
         "t128_failures": t128_failures,
         "vpx_failures": vpx_failures,
+        "split_failures": split_failures,
         "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }, indent=1) + "\n")
 
@@ -164,6 +166,34 @@ def ww2_verified() -> bool:
         and rec.get("failures") == 0
         and rec.get("ww2_failures") == 0
     )
+
+
+def split_verified() -> bool:
+    """True iff the pass-2b SPLIT-rescue cases verified on hardware.
+
+    The split launch adds new Mosaic surface (two per-piece window DMAs
+    per slot into a 4-D scratch, per-half lane/vertical rolls, lane-
+    half-selected index bases) that interpret mode cannot vouch for —
+    the planner only emits split caps with this attestation.
+    """
+    rec = _marker_record()
+    return (
+        rec is not None
+        and rec.get("failures") == 0
+        and rec.get("split_failures") == 0
+    )
+
+
+def split_enabled() -> bool:
+    """Should the pipeline/bench enable the pass-2b split rescue?
+
+    ``ILR_SPLIT=1``/``0`` overrides (the verification battery itself),
+    else auto: on only with hardware evidence for the current sources.
+    """
+    env = os.environ.get("ILR_SPLIT")
+    if env in ("0", "1"):
+        return env == "1"
+    return split_verified()
 
 
 def t128_verified() -> bool:

@@ -922,6 +922,25 @@ def _subtile_reduce(field: Array, n_ty: int, n_tx: int, op: str, tile_rows: int)
     return (jnp.min if op == "min" else jnp.max)(r, axis=(2, 4))
 
 
+def _piece_reduce(field: Array, n_ty: int, n_tx: int, op: str,
+                  tile_rows: int, k: int) -> Array:
+    """Reduce per (8-row, TC/k-col) sub-tile piece -> (n_ty, n_sub, n_tx, k)."""
+    n_sub = tile_rows // 8
+    r = field.reshape(n_ty, n_sub, 8, n_tx, k, TC // k)
+    return (jnp.min if op == "min" else jnp.max)(r, axis=(2, 5))
+
+
+def split_ok_static(r_g: int, channels: int) -> bool:
+    """Static availability of the 2-piece split rescue at g gather vregs.
+
+    Each piece's window occupies g*64 lanes, which must be 128-aligned
+    for the per-piece DMA (g even) and divide evenly into texel columns
+    (g*64 % channels == 0 — the piece-B gather offset folds into the
+    per-pixel column base as (g*64)//channels texels)."""
+    half_l = r_g * 128 // 2
+    return r_g % 2 == 0 and half_l % max(channels, 1) == 0
+
+
 def _px_patch_sizes(n_px: int) -> Tuple[int, int, int]:
     """Static chunk sizing for the PIXEL-granular patch loop.
 
@@ -993,7 +1012,7 @@ def _prepass(
     cb: int = CB, max_chunks: int = 0, ww2: bool = False,
     return_parts: bool = False,
     rescue_channels: int = 0, rescue_budgets=None,
-    pixel_valid: bool = False,
+    pixel_valid: bool = False, split_pieces: int = 0,
 ):
     """Per-tile window scalars + per-SUB-TILE overflow mask (device, XLA).
 
@@ -1298,6 +1317,48 @@ def _prepass(
                 ok2.astype(jnp.int32),
             ]
         )  # (4, n_ty, n_sub, n_tx)
+    split = None
+    if rescue_channels > 0 and split_pieces == 2 and split_ok_static(
+            r_g, rescue_channels):
+        # SPLIT-RESCUE admission: each HALF (8 x 64) of a sub-tile gets
+        # its own window, checked against HALF the gather-lane budget
+        # (the two windows share the launch's g vregs; each piece's
+        # window rides in g*64 lanes). The polar-arc configs' marginal
+        # sub-tiles have cluster-jump windows (seam monotonization, arc
+        # reversals), so their halves' extents are far below ext/2 —
+        # measured on cfg2: 60.6% of otherwise-patched sub-tiles fit
+        # (8, 6) split where 0% fit it whole (bench/overflow_split_probe).
+        # Both halves must fit (the block patch overwrites whole 8x128
+        # sub-tiles, so one unfit half forfeits the slot's saving).
+        half_l = r_g * 128 // 2
+        kmin_p = _piece_reduce(kmin_px, n_ty, n_tx, "min", tile_rows, 2)
+        kmax_p = _piece_reduce(kmax_px, n_ty, n_tx, "max", tile_rows, 2)
+        ymin_p = _piece_reduce(ymin_px, n_ty, n_tx, "min", tile_rows, 2)
+        ymax_p = _piece_reduce(ymax_px, n_ty, n_tx, "max", tile_rows, 2)
+        rb_p = jnp.clip(((ymin_p - margin) // 8) * 8, 0, max(h_pad - hw2, 0))
+        sh_p = ymin_p - margin - rb_p
+        span_p = ymax_p - ymin_p + 2 * margin + 1
+        cs_p = kmin_p - margin
+        ext_p = kmax_p - kmin_p + 2 * margin + 1
+        okp = (
+            (sh_p >= 0)
+            & (ymax_p + margin + 1 - rb_p <= hw2)
+            & (span_p <= r_ng * 8)
+            & (sh_p + r_ng * 8 <= hw2)
+            & (cs_p >= 0)
+            & (ext_p * rescue_channels <= half_l)
+            & (cs_p + ext_p <= w_pad)
+        )
+        if wrap:
+            okp = okp & (kmax_p <= PAD + in_w + cb + PAD + margin)
+        split = jnp.stack(
+            [
+                rb_p.astype(jnp.int32),
+                cs_p.astype(jnp.int32),
+                jnp.clip(sh_p, 0, hw2 - 1).astype(jnp.int32),
+                okp.astype(jnp.int32),
+            ]
+        )  # (4, n_ty, n_sub, n_tx, 2) — distinguishable from rescue by ndim
     # Pack the per-tile scalars into ONE prefetch array with a wide minor
     # dim: SMEM pads the minor dimension to 128 lanes per array, so separate
     # (n_ty, n_tx) arrays would cost SC x the SMEM (exhausts the 1MB SMEM
@@ -1348,6 +1409,11 @@ def _prepass(
     out = (scalars, jnp.logical_not(ok_sub))
     if rescue is not None:
         out = out + (rescue,)
+    if split_pieces:
+        # Deterministic arity like pixel_valid: requesting split always
+        # appends the slot (None when statically unavailable, e.g. the
+        # lane budget does not divide by the channel count).
+        out = out + (split,)
     if pixel_valid:
         # Deterministic arity: pixel_valid=True always appends the slot,
         # None when no per-pixel model exists (ww2/whole-window bodies) —
@@ -1361,7 +1427,7 @@ def _make_kernel(
     interp, wrap, has_rotation, tile_rows, n_groups, rb: int = RB,
     scan_unroll: int = SCAN_UNROLL, cb: int = CB,
     h_pad: int = 0, wl: int = 0, gchunks: int = 0, compact: bool = False,
-    ww2: bool = False,
+    ww2: bool = False, split: bool = False,
 ):
     n_taps = _interp_taps(interp)
     n_sub = tile_rows // 8  # 8-row sub-tiles sharing each column read
@@ -1371,6 +1437,11 @@ def _make_kernel(
     WW = (gchunks + 1) * 128 if gchunks else _w_win(scan_unroll, c_ch)
     GL = gchunks * 128
     HW = 2 * rb
+    # Split-rescue slots: each compact slot computes BOTH 8x64 halves of
+    # one bad sub-tile from two per-piece windows of HALF_L gather lanes
+    # (+128 lanes of DMA alignment slack each).
+    HALF_L = GL // 2
+    WWP = HALF_L + 128
 
     def kernel(scalars_s, rot_ref, src_ref, out_ref, buf, sem):
         ty = pl.program_id(0)
@@ -1412,9 +1483,28 @@ def _make_kernel(
                 sem.at[slot],
             )
 
+        def dma_split(tyy, p, slot):
+            # Per-PIECE window fetch (split slots): piece 0's fields ride
+            # the standard slots 1/2, piece 1's in 12/13 (compact grid is
+            # (cap, 1), so tx is always 0 and the slot index is direct).
+            rb_t = scalars_s[tyy, 12 if p else 1]
+            cs_t = scalars_s[tyy, 13 if p else 2]
+            r0 = pl.multiple_of(jnp.clip(rb_t, 0, h_pad - HW), 8)
+            la = cs_t * c_ch
+            l0 = jnp.clip((la // 128) * 128, 0, wl - WWP)
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(r0, HW), pl.ds(pl.multiple_of(l0, 128), WWP)],
+                buf.at[slot, p],
+                sem.at[slot, p],
+            )
+
         @pl.when(jnp.logical_and(ty == 0, tx == 0))
         def _():
-            dma_for(0, 0, 0, 0).start()
+            if split:
+                dma_split(0, 0, 0).start()
+                dma_split(0, 1, 0).start()
+            else:
+                dma_for(0, 0, 0, 0).start()
 
         row0_k = rot_ref[0, 11].astype(jnp.int32)
         if compact:
@@ -1463,8 +1553,27 @@ def _make_kernel(
         # start (compared against the loop counter k) and window-relative
         # row-tap positions. Per-(tap, group) masks stay in-loop under the
         # group-range cond to keep live VMEM bounded at 4K scale.
+        if split:
+            # SPLIT slot: per-pixel window bases select by lane half.
+            # Piece B's gather columns live HALF_L lanes up in the
+            # concatenated window, folded in as HALF_L//c_ch texels so
+            # the generic gather body below runs unchanged.
+            isB = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_rows, TC), 1) >= (TC // 2)
+            csB = scalars_s[ty, tx * SC + 13]
+            rbB = scalars_s[ty, tx * SC + 12]
+            shB = scalars_s[ty, tx * SC + 16]
+            c_start_k = jnp.where(isB, csB - HALF_L // c_ch, c_start)
+            r_base_k = jnp.where(isB, rbB, r_base)
+            sh_split = jnp.where(
+                isB,
+                jnp.clip(shB, 0, HW - 1),
+                jnp.clip(shifts[0], 0, HW - 1),
+            )
+        else:
+            c_start_k, r_base_k = c_start, r_base
         x_key = [
-            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD - c_start
+            taps_mod.monotonize_x(i, in_w, seam_px, xp=jnp) + PAD - c_start_k
             for i in xt.idx
         ]
         # Row-tap positions relative to each sub-tile's rolled window start
@@ -1477,7 +1586,7 @@ def _make_kernel(
         # Row-tap positions relative to the block base, hoisted; the
         # per-step sheared shift is subtracted inside the scan loop.
         y_base = [
-            [half(i + PAD - r_base, h) for h in range(n_sub)]
+            [half(i + PAD - r_base_k, h) for h in range(n_sub)]
             for i in yt.idx
         ]
         if n_groups == 1:
@@ -1506,7 +1615,11 @@ def _make_kernel(
             # ~4x fewer vector ops than the scan body on smooth tiles.
             tlin = ty * n_tx_g + tx
             slot = jax.lax.rem(tlin, 2)
-            dma_for(ty, tx, 0, slot).wait()
+            if split:
+                dma_split(ty, 0, slot).wait()
+                dma_split(ty, 1, slot).wait()
+            else:
+                dma_for(ty, tx, 0, slot).wait()
             is_last = jnp.logical_and(
                 ty == pl.num_programs(0) - 1, tx == n_tx_g - 1
             )
@@ -1515,11 +1628,32 @@ def _make_kernel(
             def _():
                 nty = jnp.where(tx + 1 < n_tx_g, ty, ty + 1)
                 ntx = jnp.where(tx + 1 < n_tx_g, tx + 1, 0)
-                dma_for(nty, ntx, 0, 1 - slot).start()
+                if split:
+                    dma_split(nty, 0, 1 - slot).start()
+                    dma_split(nty, 1, 1 - slot).start()
+                else:
+                    dma_for(nty, ntx, 0, 1 - slot).start()
 
-            l0, la = lane_base(c_start, 0)
-            mis = jnp.clip(la - l0, 0, WW - 1)
-            wfull = pltpu.roll(buf[slot], WW - mis, 1)[:, :GL]
+            if split:
+                # Assemble the two per-piece windows: lane-align each
+                # fetched half (dynamic positive roll, Mosaic-safe),
+                # apply its OWN vertical shift, and concatenate — the
+                # generic gather body then sees one (HW, GL) window
+                # whose lane halves belong to different source windows.
+                halves = []
+                for p, (cs_p, sh_p) in enumerate(
+                        ((c_start, shifts[0]), (csB, shB))):
+                    la_p = cs_p * c_ch
+                    l0_p = jnp.clip((la_p // 128) * 128, 0, wl - WWP)
+                    mis_p = jnp.clip(la_p - l0_p, 0, WWP - 1)
+                    w_p = pltpu.roll(buf[slot, p], WWP - mis_p, 1)[:, :HALF_L]
+                    w_p = pltpu.roll(w_p, HW - jnp.clip(sh_p, 0, HW - 1), 0)
+                    halves.append(w_p)
+                wfull = jnp.concatenate(halves, axis=1)
+            else:
+                l0, la = lane_base(c_start, 0)
+                mis = jnp.clip(la - l0, 0, WW - 1)
+                wfull = pltpu.roll(buf[slot], WW - mis, 1)[:, :GL]
             if ww2:
                 # ---- TWO-STEP-GATHER BODY (ops/pallas/ww2.py) ----
                 # One lane gather per (tap offset, channel) over the
@@ -1550,12 +1684,22 @@ def _make_kernel(
                         out_ref[c, h * 8:(h + 1) * 8, :] = accs[c][h]
                 return
             for h in range(n_sub):
-                sh_h = jnp.clip(shifts[h], 0, HW - 1)
-                rolled_h = pltpu.roll(wfull, HW - sh_h, 0)
-                y_rel = [
-                    jnp.clip(y_base[m][h] - sh_h, 0, n_groups * 8 - 1)
-                    for m in range(n_taps)
-                ]
+                if split:
+                    # Vertical shifts already applied per piece above;
+                    # the per-pixel shift drives only the tap positions.
+                    rolled_h = wfull
+                    y_rel = [
+                        jnp.clip(y_base[m][h] - sh_split, 0,
+                                 n_groups * 8 - 1)
+                        for m in range(n_taps)
+                    ]
+                else:
+                    sh_h = jnp.clip(shifts[h], 0, HW - 1)
+                    rolled_h = pltpu.roll(wfull, HW - sh_h, 0)
+                    y_rel = [
+                        jnp.clip(y_base[m][h] - sh_h, 0, n_groups * 8 - 1)
+                        for m in range(n_taps)
+                    ]
                 xli = [x_key_h[m][h] * c_ch for m in range(n_taps)]
                 for j in range(n_groups * 8):
                     mj = sum(
@@ -1718,6 +1862,7 @@ def _remap_pallas_one(
     rescue_cap: int = 0,
     rescue_budgets=None,
     valid_px: Optional[Array] = None,
+    split_cap: int = 0,
 ) -> Tuple[Array, Array]:
     """One subsample launch. Returns (out (band_rows, out_w, C), ok flag).
 
@@ -1741,6 +1886,13 @@ def _remap_pallas_one(
     granularity — only bad-sub-tile pixels the kernel did NOT compute
     exactly are resampled, instead of whole 8x128 blocks. Scan-body
     launches only (whole-window/ww2 launches ignore it).
+
+    ``split_cap`` > 0 (static) enables the pass-2b SPLIT rescue: up to
+    that many still-patched sub-tiles BOTH of whose 8x64 halves fit
+    per-piece windows under HALF the (ng, g) lane budget are recomputed
+    by a second compact launch (two per-piece window DMAs per slot).
+    Serves cluster-jump windows (seam monotonization, polar-arc
+    reversals) that no contiguous whole-sub-tile window can cover.
     """
     if n_groups <= 0:
         n_groups = _active_groups(tile_rows)
@@ -1771,12 +1923,17 @@ def _remap_pallas_one(
             cb=cb, max_chunks=1 if gchunks else 0, ww2=ww2,
             rescue_channels=c_ch if rescue_cap > 0 else 0,
             rescue_budgets=(r_ng, r_g),
+            split_pieces=2 if split_cap > 0 else 0,
         )
-        (scalars, bad), rescue = pre[:2], (pre[2] if len(pre) > 2 else None)
+        scalars, bad = pre[:2]
+        rescue = pre[2] if len(pre) > 2 else None
+        split_f = pre[3] if len(pre) > 3 else None
     elif len(shared) > 3:
-        padded, scalars, bad, rescue = shared
+        padded, scalars, bad, rescue = shared[:4]
+        split_f = shared[4] if len(shared) > 4 else None
     else:
         padded, scalars, bad = shared
+        split_f = None
     # Rescue feasibility is static: the pass-2 DMA window must fit the
     # padded source, and the cap must be sized (> 0) by the caller.
     if (
@@ -1787,6 +1944,13 @@ def _remap_pallas_one(
     ):
         rescue = None
         rescue_cap = 0
+    # The split rescue shares the (ng, g) budgets and rides only on an
+    # enabled rescue pass (its per-piece fields exist only then); its
+    # per-piece fetch width r_g*64+128 is within the rescue's check.
+    if split_f is None or split_cap <= 0 or rescue is None \
+            or not split_ok_static(r_g, c_ch):
+        split_f = None
+        split_cap = 0
     n_bad = jnp.sum(bad.astype(jnp.int32))
     # Hybrid threshold: the patch samples bad SUB-TILES (8-row units —
     # overflow is tracked per sub-tile, so one folding sub-tile no longer
@@ -1813,6 +1977,20 @@ def _remap_pallas_one(
         r_ty, r_h, r_tx = jnp.nonzero(taken, size=rescue_cap, fill_value=-1)
     else:
         patch_mask = bad
+    if split_f is not None:
+        # Pass-2b SPLIT set: still-patched sub-tiles BOTH of whose 8x64
+        # halves fit per-piece windows, capped in row-major order like
+        # the whole-rescue set.
+        split_ok_sub = jnp.logical_and(
+            patch_mask, jnp.all(split_f[3] > 0, axis=3)
+        )
+        flat_s = split_ok_sub.reshape(-1)
+        taken_s = jnp.logical_and(
+            flat_s, jnp.cumsum(flat_s.astype(jnp.int32)) <= split_cap
+        ).reshape(split_ok_sub.shape)
+        patch_mask = jnp.logical_and(patch_mask, jnp.logical_not(taken_s))
+        n_bad = jnp.sum(patch_mask.astype(jnp.int32))
+        s_ty, s_h, s_tx = jnp.nonzero(taken_s, size=split_cap, fill_value=-1)
     if valid_px is None:
         bad_ty, bad_h, bad_tx = jnp.nonzero(
             patch_mask, size=cap_padded, fill_value=-1)
@@ -2034,6 +2212,105 @@ def _remap_pallas_one(
                 mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
             )
 
+        if split_f is not None:
+            # PASS-2B SPLIT RESCUE: recompute still-patched sub-tiles
+            # whose HALVES both fit per-piece windows (cluster-jump
+            # windows no contiguous whole-window covers — measured 60.6%
+            # of cfg2's patched set, bench/overflow_split_probe.py).
+            # Same compact whole-window body; each slot DMAs TWO
+            # per-piece windows and the per-pixel bases select by lane
+            # half (see _make_kernel split=True).
+            sc3 = jnp.maximum(s_ty, 0)
+            sh3 = jnp.maximum(s_h, 0)
+            sx3 = jnp.maximum(s_tx, 0)
+
+            def g3s(a, piece):
+                return a[sc3, sh3, sx3, piece].astype(jnp.int32)
+
+            seam_tile3 = scalars.reshape(n_ty, n_tx, SC)[..., 4]
+            zero_s3 = jnp.zeros((split_cap,), jnp.int32)
+            fields3 = [
+                zero_s3,
+                g3s(split_f[0], 0),           # 1: piece-A DMA row base
+                g3s(split_f[1], 0),           # 2: piece-A window col start
+                zero_s3,                      # 3: n_scan (unused by WW)
+                seam_tile3[sc3, sx3].astype(jnp.int32),  # 4: seam
+                (sc3 * tile_rows + sh3 * 8).astype(jnp.int32),  # 5: out row
+                g3s(split_f[2], 0),           # 6: piece-A shift
+                zero_s3,                      # 7: drift (unused)
+                (sx3 * TC).astype(jnp.int32),  # 8: out col
+                zero_s3,
+                zero_s3,
+                zero_s3,
+                g3s(split_f[0], 1),           # 12: piece-B DMA row base
+                g3s(split_f[1], 1),           # 13: piece-B window col start
+                zero_s3,
+                zero_s3,
+                g3s(split_f[2], 1),           # 16: piece-B shift
+            ]
+            fields3 += [zero_s3] * (SC - len(fields3))
+            scalars3 = jnp.stack(fields3, axis=-1)  # (split_cap, SC)
+
+            kernel3 = _make_kernel(
+                in_lens, out_lens, in_h, in_w, out_h, out_w, c_ch,
+                interp, wrap, has_rotation, 8, r_ng, rb=r_rb,
+                scan_unroll=(r_g * 128) // c_ch, cb=cb,
+                h_pad=int(padded.shape[0]), wl=int(padded.shape[1]),
+                gchunks=r_g, compact=True, split=True,
+            )
+            grid_spec3 = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(split_cap, 1),
+                in_specs=[
+                    pl.BlockSpec((1, 16), lambda ty, tx, *_: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (c_ch, 8, TC),
+                    lambda ty, tx, *_: (0, ty, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM(
+                        (2, 2, 2 * r_rb, r_g * 64 + 128), jnp.float32
+                    ),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            )
+            out3 = pl.pallas_call(
+                kernel3,
+                out_shape=jax.ShapeDtypeStruct(
+                    (c_ch, split_cap * 8, TC), jnp.float32
+                ),
+                grid_spec=grid_spec3,
+                interpret=_INTERPRET,
+            )(scalars3, rot_, padded_)
+            updates3 = jnp.transpose(
+                out3.reshape(c_ch, split_cap, 8, TC), (1, 0, 2, 3)
+            )
+            s_slot = jnp.arange(split_cap, dtype=jnp.int32)
+            s_fill = s_ty < 0
+            s_ty_s = jnp.where(s_fill, n_ty + s_slot, s_ty)
+            s_h_s = jnp.where(s_fill, 0, s_h)
+            s_tx_s = jnp.where(s_fill, 0, s_tx)
+            starts3 = jnp.stack(
+                [s_ty_s * tile_rows + s_h_s * 8, s_tx_s * TC], axis=-1
+            )
+            out_planar = jax.lax.scatter(
+                out_planar,
+                starts3,
+                updates3,
+                jax.lax.ScatterDimensionNumbers(
+                    update_window_dims=(1, 2, 3),
+                    inserted_window_dims=(),
+                    scatter_dims_to_operand_dims=(1, 2),
+                ),
+                indices_are_sorted=True,
+                unique_indices=True,
+                mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+            )
+
         # Patch overflow tiles with exact XLA-sampled values. Sampling is
         # VECTORIZED in fixed-size chunks over the bad-tile list (a
         # sequential per-tile sample measured ~0.6 ms/tile, throttling
@@ -2230,6 +2507,7 @@ def make_prepass(
     rescue_budgets=None,
     return_parts: bool = False,
     pixel_valid: bool = False,
+    split_pieces: int = 0,
 ) -> Tuple[Array, ...]:
     """Precompute the per-tile window scalars + overflow mask (a "plan").
 
@@ -2284,6 +2562,7 @@ def make_prepass(
         rescue_budgets=rescue_budgets,
         return_parts=return_parts,
         pixel_valid=pixel_valid,
+        split_pieces=split_pieces if with_rescue else 0,
     )
 
 
@@ -2311,6 +2590,7 @@ def remap_pallas(
     rescue_budgets=None,
     valid_px: Optional[Array] = None,
     pixel_patch: bool = False,
+    split_cap: int = 0,
 ) -> Array:
     """Full fused remap via the Pallas kernel (XLA fallback under the hood).
 
@@ -2368,19 +2648,22 @@ def remap_pallas(
             # its mask in the rescue slot (ADVICE r4 low).
             scalars, bad = prepass[0], prepass[1]
             rescue_f = None
+            split_f = None
             for extra in prepass[2:]:
                 if extra is None:
                     continue
                 if extra.ndim == 4:
                     rescue_f = extra
+                elif extra.ndim == 5:
+                    split_f = extra
                 elif extra.ndim == 2:
                     if valid_px is None:
                         valid_px = extra
                 else:
                     raise ValueError(
                         "unrecognized prepass field of ndim "
-                        f"{extra.ndim} (expected rescue stack ndim 4 or "
-                        "valid_px mask ndim 2)"
+                        f"{extra.ndim} (expected rescue stack ndim 4, "
+                        "split stack ndim 5, or valid_px mask ndim 2)"
                     )
         else:
             in_h, in_w = int(src.shape[0]), int(src.shape[1])
@@ -2401,17 +2684,24 @@ def remap_pallas(
                 rescue_channels=int(src.shape[2]) if with_rescue_f else 0,
                 rescue_budgets=rescue_budgets,
                 pixel_valid=pixel_patch,
+                split_pieces=2 if split_cap > 0 and with_rescue_f else 0,
             )
             scalars, bad = pre[:2]
             rest = list(pre[2:])
             rescue_f = rest.pop(0) if with_rescue_f and rest else None
+            split_f = (
+                rest.pop(0)
+                if split_cap > 0 and with_rescue_f and rest
+                else None
+            )
             if rest and valid_px is None:
                 valid_px = rest.pop(0)
-        shared = (
-            (padded, scalars, bad, rescue_f)
-            if rescue_f is not None
-            else (padded, scalars, bad)
-        )
+        if split_f is not None:
+            shared = (padded, scalars, bad, rescue_f, split_f)
+        elif rescue_f is not None:
+            shared = (padded, scalars, bad, rescue_f)
+        else:
+            shared = (padded, scalars, bad)
 
     acc = None
     for off_x in offsets:
@@ -2425,7 +2715,7 @@ def remap_pallas(
                 scan_unroll=scan_unroll, cb=cb,
                 shared=shared, row0=row0, band_rows=band_rows,
                 rescue_cap=rescue_cap, rescue_budgets=rescue_budgets,
-                valid_px=valid_px,
+                valid_px=valid_px, split_cap=split_cap,
             )
             acc = out if acc is None else acc + out
     result = acc * jnp.float32(1.0 / (n_samples * n_samples))

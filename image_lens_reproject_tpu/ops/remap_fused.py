@@ -109,7 +109,7 @@ def remap_tonemap(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
-        "rescue_cap", "rescue_budgets",
+        "rescue_cap", "rescue_budgets", "split_cap",
     ),
 )
 def remap_tonemap_planned(
@@ -119,6 +119,7 @@ def remap_tonemap_planned(
     bad: jax.Array,
     rescue: Optional[jax.Array] = None,
     valid_px: Optional[jax.Array] = None,
+    split: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -135,6 +136,7 @@ def remap_tonemap_planned(
     cb: int = 0,
     rescue_cap: int = 0,
     rescue_budgets=None,
+    split_cap: int = 0,
 ) -> jax.Array:
     """remap_tonemap with a precomputed prepass (see make_plan).
 
@@ -147,11 +149,15 @@ def remap_tonemap_planned(
     the plan was computed with. Pass ``valid_px`` (from
     plan_with_rescue(pixel_patch=True)) to patch overflow at PIXEL
     granularity — only bad-sub-tile pixels the kernel did not compute
-    exactly are resampled instead of whole 8x128 blocks.
+    exactly are resampled instead of whole 8x128 blocks. Pass ``split``
+    (from make_plan(split_pieces=2)) plus a static ``split_cap`` > 0 to
+    also run the pass-2b split rescue on still-patched sub-tiles whose
+    8x64 halves both fit per-piece windows.
     """
     from .pallas import remap_kernel
 
-    pre = (scalars, bad) if rescue is None else (scalars, bad, rescue)
+    pre = (scalars, bad) + tuple(
+        f for f in (rescue, split) if f is not None)
     return remap_kernel.remap_pallas(
         src, rotation,
         in_lens=in_lens, out_lens=out_lens, out_h=out_h, out_w=out_w,
@@ -161,6 +167,7 @@ def remap_tonemap_planned(
         rescue_cap=rescue_cap if rescue is not None else 0,
         rescue_budgets=rescue_budgets,
         valid_px=valid_px,
+        split_cap=split_cap if split is not None else 0,
     )
 
 
@@ -169,7 +176,7 @@ def remap_tonemap_planned(
     static_argnames=(
         "in_lens", "out_lens", "out_h", "out_w", "interp", "n_samples",
         "exposure", "reinhard", "tile_rows", "n_groups", "rb", "scan_unroll", "cb",
-        "rescue_cap", "rescue_budgets",
+        "rescue_cap", "rescue_budgets", "split_cap",
     ),
 )
 def remap_tonemap_planned_batch(
@@ -179,6 +186,7 @@ def remap_tonemap_planned_batch(
     bad: jax.Array,
     rescue: Optional[jax.Array] = None,
     valid_px: Optional[jax.Array] = None,
+    split: Optional[jax.Array] = None,
     *,
     in_lens: LensSpec,
     out_lens: LensSpec,
@@ -195,6 +203,7 @@ def remap_tonemap_planned_batch(
     cb: int = 0,
     rescue_cap: int = 0,
     rescue_budgets=None,
+    split_cap: int = 0,
 ) -> jax.Array:
     """(B, H, W, C) -> (B, out_h, out_w, C) in ONE device dispatch.
 
@@ -205,8 +214,10 @@ def remap_tonemap_planned_batch(
     """
     from .pallas import remap_kernel
 
-    pre = (scalars, bad) if rescue is None else (scalars, bad, rescue)
+    pre = (scalars, bad) + tuple(
+        f for f in (rescue, split) if f is not None)
     cap = rescue_cap if rescue is not None else 0
+    s_cap = split_cap if split is not None else 0
 
     def body(_, img):
         out = remap_kernel.remap_pallas(
@@ -216,7 +227,7 @@ def remap_tonemap_planned_batch(
             reinhard=reinhard, tile_rows=tile_rows, n_groups=n_groups,
             rb=rb, scan_unroll=scan_unroll, cb=cb, prepass=pre,
             rescue_cap=cap, rescue_budgets=rescue_budgets,
-            valid_px=valid_px,
+            valid_px=valid_px, split_cap=s_cap,
         )
         return None, out
 
@@ -245,13 +256,16 @@ def make_plan(
     rescue_budgets=None,
     return_parts: bool = False,
     pixel_valid: bool = False,
+    split_pieces: int = 0,
 ):
     """Device-compute the reusable (scalars, bad[, rescue]) prepass for one
     config. ``with_rescue=True`` adds the pass-2 per-sub-tile window
     fields, checked against ``rescue_budgets`` (see
     remap_kernel.make_prepass; choose_rescue_budgets picks per config).
     ``pixel_valid=True`` appends the per-pixel kernel-exactness mask
-    (None for ww2/whole-window plans — scan-body only)."""
+    (None for ww2/whole-window plans — scan-body only).
+    ``split_pieces=2`` (with rescue) appends the pass-2b per-half-piece
+    window fields for the split rescue."""
     from .pallas import remap_kernel
 
     fn = jax.jit(
@@ -263,6 +277,7 @@ def make_plan(
             scan_unroll=scan_unroll, cb=cb, channels=channels,
             with_rescue=with_rescue, rescue_budgets=rescue_budgets,
             return_parts=return_parts, pixel_valid=pixel_valid,
+            split_pieces=split_pieces,
         )
     )
     return fn(rotation)
@@ -280,6 +295,7 @@ def plan_with_rescue(
     *,
     use_rescue: bool,
     pixel_patch: bool = False,
+    split: bool = False,
     **plan_kw,
 ):
     """Build the frame-stream plan, ladder-choosing the rescue budgets.
@@ -288,7 +304,9 @@ def plan_with_rescue(
     bench/baseline_configs (one implementation to keep in lockstep).
     Returns (scalars, bad, rescue, rescue_cap, rescue_budgets,
     valid_px); rescue is None (cap 0, budgets None) when disabled or
-    nothing is rescuable.
+    nothing is rescuable. ``split=True`` appends (split, split_cap)
+    for the pass-2b split rescue (deterministic arity — None/0 when
+    the chooser rejects it); gate it on dispatch.split_enabled().
 
     With rescue enabled, every admissible RESCUE_LADDER entry gets its
     own prepass and the EXACT admitted count (``bad & rescue[3] > 0`` —
@@ -314,7 +332,8 @@ def plan_with_rescue(
 
     from .pallas import remap_kernel as RK
 
-    def finish(scalars, bad, rescue, rescue_cap, budgets, vpx):
+    def finish(scalars, bad, rescue, rescue_cap, budgets, vpx,
+               split_f=None, split_cap=0):
         valid_px = None
         if pixel_patch and vpx is not None:
             tile_rows = plan_kw.get("tile_rows", RK.TR)
@@ -342,7 +361,18 @@ def plan_with_rescue(
                     < bad_px * RK._PATCH_NS_PER_PX
             ):
                 valid_px = compact
-        return scalars, bad, rescue, rescue_cap, budgets, valid_px
+        if split_cap > 0 and valid_px is not None:
+            # The pixel list is compacted against the pre-split patched
+            # set; running both would re-patch split-rescued pixels with
+            # identical values at full pixel-list cost. The split's
+            # admission already beat the effective patch — drop the list.
+            valid_px = None
+        out = (scalars, bad, rescue, rescue_cap, budgets, valid_px)
+        if split:
+            # Deterministic arity: requesting split always appends the
+            # two fields (None/0 when disabled or nothing is admitted).
+            out = out + (split_f, split_cap)
+        return out
 
     if not use_rescue:
         plan = make_plan(rotation, with_rescue=False,
@@ -415,6 +445,32 @@ def plan_with_rescue(
     rescue_cap = -(-n_resc // 128) * 128 if n_resc else 0
     if rescue_cap == 0:
         rescue, budgets = None, None
+    split_f, split_cap = None, 0
+    if split and rescue is not None and RK.split_ok_static(
+            budgets[1], channels):
+        # Pass-2b SPLIT admission at the winning budgets: still-patched
+        # sub-tiles BOTH of whose 8x64 halves fit per-piece windows
+        # under half the lane budget (cluster-jump windows — seam
+        # monotonization, polar-arc reversals — that no contiguous
+        # whole-window covers; cfg2 measured 60.6% of its patched set,
+        # bench/overflow_split_probe.py). Same per-slot body cost as the
+        # whole rescue; a second launch must clear its own fixed cost.
+        plan_s = make_plan(rotation, with_rescue=True,
+                           rescue_budgets=budgets, split_pieces=2,
+                           **plan_kw)
+        sf = plan_s[3] if len(plan_s) > 3 else None
+        if sf is not None:
+            pm = jnp.logical_and(bad, jnp.logical_not(
+                RK._rescue_taken(bad, rescue, rescue_cap)))
+            n_split = int(np.asarray(jnp.sum(jnp.logical_and(
+                pm, jnp.all(sf[3] > 0, axis=3)))))
+            cost = RK.rescue_cost_ns_per_px(
+                budgets[0], budgets[1], channels, taps)
+            saving_s = (n_split * 1024 * (eff_patch_ns - cost)
+                        - RK._RESCUE_LAUNCH_NS)
+            if n_split > 0 and saving_s > 0:
+                split_f = sf
+                split_cap = -(-n_split // 128) * 128
     vpx = None
     if pixel_patch:
         # The per-pixel mask is budget-independent; one extra prepass
@@ -423,7 +479,8 @@ def plan_with_rescue(
                          rescue_budgets=budgets, pixel_valid=True,
                          **plan_kw)
         vpx = plan[3] if rescue is not None else plan[2]
-    return finish(scalars, bad, rescue, rescue_cap, budgets, vpx)
+    return finish(scalars, bad, rescue, rescue_cap, budgets, vpx,
+                  split_f, split_cap)
 
 
 def choose_rescue_budgets(rotation: Optional[jax.Array], **plan_kw):

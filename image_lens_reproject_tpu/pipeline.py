@@ -404,11 +404,12 @@ def process_batch(
             # (verify_onchip writing the marker).
             use_rescue = dispatch.rescue_enabled()
             use_pixel_patch = dispatch.pixel_patch_enabled()
+            use_split = use_rescue and dispatch.split_enabled()
             key = (batch.shape[1:], opts.input_lens, opts.output_lens,
                    opts.out_height, opts.out_width, opts.interp,
                    opts.n_samples,
                    None if opts.rotation is None else opts.rotation.tobytes(),
-                   use_rescue, use_pixel_patch)
+                   use_rescue, use_pixel_patch, use_split)
             cached = _plan_cache_get(key)
             if cached is None:
                 # The tiling pick models only what the runtime will do:
@@ -423,26 +424,28 @@ def process_batch(
                 )
                 # One shared construction path (plan + ladder-chosen
                 # budgets + cap) with bench.py/baseline_configs.
-                scalars, bad, rescue, rescue_cap, budgets, valid_px = (
-                    remap_fused.plan_with_rescue(
-                        rot, use_rescue=use_rescue,
-                        pixel_patch=use_pixel_patch,
-                        in_lens=opts.input_lens, out_lens=opts.output_lens,
-                        in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
-                        out_h=opts.out_height, out_w=opts.out_width,
-                        interp=opts.interp, n_samples=opts.n_samples,
-                        tile_rows=tile_rows, n_groups=n_groups, rb=rb,
-                        scan_unroll=scan_unroll, cb=cb,
-                        channels=int(batch.shape[3]),
-                    )
+                plan = remap_fused.plan_with_rescue(
+                    rot, use_rescue=use_rescue,
+                    pixel_patch=use_pixel_patch, split=use_split,
+                    in_lens=opts.input_lens, out_lens=opts.output_lens,
+                    in_h=int(batch.shape[1]), in_w=int(batch.shape[2]),
+                    out_h=opts.out_height, out_w=opts.out_width,
+                    interp=opts.interp, n_samples=opts.n_samples,
+                    tile_rows=tile_rows, n_groups=n_groups, rb=rb,
+                    scan_unroll=scan_unroll, cb=cb,
+                    channels=int(batch.shape[3]),
                 )
+                scalars, bad, rescue, rescue_cap, budgets, valid_px = plan[:6]
+                split_f, split_cap = (plan[6], plan[7]) if use_split \
+                    else (None, 0)
                 cached = (tile_rows, n_groups, rb, scan_unroll, cb,
                           scalars, bad, rescue, rescue_cap, budgets,
-                          valid_px)
+                          valid_px, split_f, split_cap)
                 _plan_cache_put(key, cached)
                 _log_plan(opts, cached[:5], batch.shape[1:])
             (tile_rows, n_groups, rb, scan_unroll, cb,
-             scalars, bad, rescue, rescue_cap, budgets, valid_px) = cached
+             scalars, bad, rescue, rescue_cap, budgets, valid_px,
+             split_f, split_cap) = cached
             # One device dispatch for the whole batch (lax.scan over
             # frames inside one jit): at 1080p each dispatch carries ~ms
             # of tunnel/dispatch latency, so per-image launches taxed
@@ -455,8 +458,10 @@ def process_batch(
                 bad,
                 rescue,
                 valid_px,
+                split_f,
                 rescue_cap=rescue_cap,
                 rescue_budgets=budgets,
+                split_cap=split_cap,
                 in_lens=opts.input_lens,
                 out_lens=opts.output_lens,
                 out_h=opts.out_height,

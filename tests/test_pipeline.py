@@ -241,7 +241,7 @@ def _stub_kernel_path(monkeypatch):
     monkeypatch.setattr(remap_fused, "make_plan", fake_plan)
 
     def fake_planned_batch(batch, rot, scalars, bad, rescue=None,
-                           valid_px=None, *,
+                           valid_px=None, split=None, *,
                            in_lens, out_lens, out_h, out_w, interp,
                            n_samples, exposure, reinhard, **tiling):
         calls.append("kernel")
