@@ -191,6 +191,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pass-2 rescue of overflow sub-tiles: auto enables "
                         "it only with on-chip verification evidence for the "
                         "current kernel build (.onchip_verified.json).")
+    g.add_argument("--split", choices=("auto", "on", "off"), default="auto",
+                   help="Pass-2b SPLIT rescue (per-half-piece windows for "
+                        "cluster-jump sub-tiles): auto enables it only with "
+                        "its own on-chip attestation flag; requires rescue.")
     g.add_argument("--json-log", action="store_true", help="Machine-readable JSON progress lines.")
     g.add_argument("--ordering", choices=("overlap", "serial"), default="overlap",
                    help="Stage ordering: 'overlap' pipelines decode/device/"
@@ -384,6 +388,9 @@ def _run(args) -> int:
     # in-process invocation (tests, library embedding).
     _dispatch.set_rescue_override(
         None if args.rescue == "auto" else args.rescue == "on"
+    )
+    _dispatch.set_split_override(
+        None if args.split == "auto" else args.split == "on"
     )
 
     opts = PipelineOptions(

@@ -184,12 +184,24 @@ def split_verified() -> bool:
     )
 
 
+_split_override = None  # None = auto; True/False from --split on|off
+
+
+def set_split_override(value) -> None:
+    """CLI --split on|off (None = auto)."""
+    global _split_override
+    _split_override = value
+
+
 def split_enabled() -> bool:
     """Should the pipeline/bench enable the pass-2b split rescue?
 
-    ``ILR_SPLIT=1``/``0`` overrides (the verification battery itself),
-    else auto: on only with hardware evidence for the current sources.
+    Precedence: the CLI ``--split on|off`` override, then
+    ``ILR_SPLIT=1``/``0`` (the verification battery itself), else
+    auto: on only with hardware evidence for the current sources.
     """
+    if _split_override is not None:
+        return bool(_split_override)
     env = os.environ.get("ILR_SPLIT")
     if env in ("0", "1"):
         return env == "1"

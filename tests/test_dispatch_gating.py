@@ -96,6 +96,34 @@ def test_marker_roundtrip_enables(marker):
     assert rec["digest"] == dispatch.kernel_source_digest()
 
 
+def test_split_gating(marker, monkeypatch):
+    # no marker: disabled; env override wins; CLI override beats env;
+    # a marker missing the split bucket (pre-split battery) NEVER
+    # attests split even with base failures clean.
+    monkeypatch.delenv("ILR_SPLIT", raising=False)
+    assert not dispatch.split_verified()
+    assert not dispatch.split_enabled()
+    monkeypatch.setenv("ILR_SPLIT", "1")
+    assert dispatch.split_enabled()
+    dispatch.set_split_override(False)
+    try:
+        assert not dispatch.split_enabled()
+    finally:
+        dispatch.set_split_override(None)
+    monkeypatch.delenv("ILR_SPLIT", raising=False)
+    dispatch.write_onchip_marker("tpu", "36 configs", failures=0)
+    assert dispatch.rescue_verified()
+    assert not dispatch.split_verified()  # split_failures = -1 default
+    dispatch.write_onchip_marker("tpu", "39 configs", failures=0,
+                                 split_failures=0)
+    assert dispatch.split_verified()
+    assert dispatch.split_enabled()
+    dispatch.write_onchip_marker("tpu", "39 configs", failures=0,
+                                 split_failures=2)
+    assert dispatch.rescue_verified()
+    assert not dispatch.split_verified()
+
+
 def test_failed_or_cpu_marker_does_not_enable(marker):
     dispatch.write_onchip_marker("tpu", "21 configs", failures=2)
     assert not dispatch.rescue_verified()
