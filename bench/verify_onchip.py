@@ -124,11 +124,14 @@ def main() -> int:
         # into 4-D scratch, per-half lane/vertical rolls, lane-half-
         # selected index bases — new Mosaic surface interpret mode
         # cannot vouch for (dispatch.split_verified gates the planner).
-        # Cases: the cfg2 shape (cluster-jump seam windows), its bicubic
-        # variant (4-tap drift), and a 4-channel cfg4-like annulus.
+        # Feasible region only (remap_kernel.split_feasible): the r5f
+        # battery measured (8,6) BICUBIC C3 as a Mosaic compile FAIL
+        # (whole-rescue twin is an OK anchor — the split body's extra
+        # rolls/selects tip the scoped-VMEM stack) and C>=4 is unprobed;
+        # both are statically rejected, so the cases here are the
+        # bilinear C3 region the planner can actually emit.
         ("equisolid->equirect SPLIT bl", EQUISOLID, EQUIRECT, "bilinear", rot2, (768, 768), (768, 1536), 24, 3, 40),
-        ("equisolid->equirect SPLIT bc", EQUISOLID, EQUIRECT, "bicubic", rot2, (1024, 1024), (1024, 2048), 24, 3, 40),
-        ("rect->equisolid SPLIT 4ch", Rectilinear(50.0, 36.0, 36.0), EQUISOLID, "bilinear", None, (768, 768), (768, 768), 16, 1, 16),
+        ("equisolid->equirect SPLIT bl 1024", EQUISOLID, EQUIRECT, "bilinear", rot2, (1024, 1024), (1024, 2048), 24, 3, 40),
     ]
     # (name, ..., n_samples): supersampling shares blocks + a margin+1
     # prepass across the stratified offsets — verify that path on-chip too.
@@ -141,8 +144,7 @@ def main() -> int:
         "equisolid->equirect VPX tr24 clamp": 8,
         "equisolid->equirect VPX+RESCUE": 8,
         "equisolid->equirect SPLIT bl": 32,
-        "equisolid->equirect SPLIT bc": 32,
-        "rect->equisolid SPLIT 4ch": 32,
+        "equisolid->equirect SPLIT bl 1024": 32,
         "equirect->rect bicubic WW T32 ng1": -1,
         "equirect->rect seam180 bl WW": -1,
         "equisolid->equirect bl WW g2": -2,
@@ -158,8 +160,7 @@ def main() -> int:
     # rescue_cap override: > 0 enables the pass-2 compact rescue launch.
     cap_for = {
         "equisolid->equirect SPLIT bl": 128,
-        "equisolid->equirect SPLIT bc": 384,
-        "rect->equisolid SPLIT 4ch": 128,
+        "equisolid->equirect SPLIT bl 1024": 256,
         "equisolid->equirect VPX+RESCUE": 512,
         "rect->equisolid RESCUE": 512,
         "equisolid->equirect rot RESCUE": 512,
@@ -189,8 +190,7 @@ def main() -> int:
                  "equisolid->equirect VPX+RESCUE"}
     # pass-2b split-rescue cases: split_cap > 0 (budgets default (8, 6)).
     split_cap_for = {"equisolid->equirect SPLIT bl": 256,
-                     "equisolid->equirect SPLIT bc": 256,
-                     "rect->equisolid SPLIT 4ch": 128}
+                     "equisolid->equirect SPLIT bl 1024": 256}
 
     import zlib
 

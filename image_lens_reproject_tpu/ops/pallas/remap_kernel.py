@@ -941,6 +941,21 @@ def split_ok_static(r_g: int, channels: int) -> bool:
     return r_g % 2 == 0 and half_l % max(channels, 1) == 0
 
 
+def split_feasible(r_g: int, channels: int, taps: int) -> bool:
+    """Can the SPLIT launch COMPILE at these budgets? (measured, v5e r5f)
+
+    The split body is the whole-rescue gather stack plus per-half lane/
+    vertical rolls and lane-half selects — enough extra scoped-VMEM
+    stack to flip marginal combos: (8,6) bilinear C3 verified exact on
+    chip (`verify_r5f.log` SPLIT bl), but (8,6) BICUBIC C3 — whose
+    whole-rescue twin is an OK anchor — hard-fails Mosaic compile
+    (HTTP 500, same log). Conservative probed-or-dominated region:
+    taps <= 2 (nearest/bilinear) at C <= 3; C >= 4 is unprobed (the
+    r5f battery timed out before its 4ch case) and stays rejected."""
+    return (taps <= 2 and channels <= 3
+            and split_ok_static(r_g, channels))
+
+
 def _px_patch_sizes(n_px: int) -> Tuple[int, int, int]:
     """Static chunk sizing for the PIXEL-granular patch loop.
 
@@ -1318,8 +1333,8 @@ def _prepass(
             ]
         )  # (4, n_ty, n_sub, n_tx)
     split = None
-    if rescue_channels > 0 and split_pieces == 2 and split_ok_static(
-            r_g, rescue_channels):
+    if rescue_channels > 0 and split_pieces == 2 and split_feasible(
+            r_g, rescue_channels, _interp_taps(interp)):
         # SPLIT-RESCUE admission: each HALF (8 x 64) of a sub-tile gets
         # its own window, checked against HALF the gather-lane budget
         # (the two windows share the launch's g vregs; each piece's
@@ -1948,7 +1963,7 @@ def _remap_pallas_one(
     # enabled rescue pass (its per-piece fields exist only then); its
     # per-piece fetch width r_g*64+128 is within the rescue's check.
     if split_f is None or split_cap <= 0 or rescue is None \
-            or not split_ok_static(r_g, c_ch):
+            or not split_feasible(r_g, c_ch, _interp_taps(interp)):
         split_f = None
         split_cap = 0
     n_bad = jnp.sum(bad.astype(jnp.int32))

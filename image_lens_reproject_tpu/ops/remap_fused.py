@@ -446,8 +446,8 @@ def plan_with_rescue(
     if rescue_cap == 0:
         rescue, budgets = None, None
     split_f, split_cap = None, 0
-    if split and rescue is not None and RK.split_ok_static(
-            budgets[1], channels):
+    if split and rescue is not None and RK.split_feasible(
+            budgets[1], channels, taps):
         # Pass-2b SPLIT admission at the winning budgets: still-patched
         # sub-tiles BOTH of whose 8x64 halves fit per-piece windows
         # under half the lane budget (cluster-jump windows — seam

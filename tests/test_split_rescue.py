@@ -130,6 +130,24 @@ class TestSplitAdmission:
                               **kw)
         assert len(pre) == 4 and pre[3] is None
 
+    def test_compile_feasibility_region(self):
+        # Measured r5f (verify_r5f.log): (8,6) bilinear C3 OK on chip,
+        # (8,6) BICUBIC C3 a Mosaic compile FAIL, C>=4 unprobed — the
+        # planner and prepass must stay inside the probed region.
+        assert RK.split_feasible(6, 3, 2)       # bilinear C3: attested
+        assert not RK.split_feasible(6, 3, 4)   # bicubic: compile FAIL
+        assert not RK.split_feasible(6, 4, 2)   # C4: unprobed
+        rot = rotation_matrix_degrees(30.0, 10.0, 5.0)
+        kw = _plan_kw()
+        kw["interp"] = "bicubic"
+        pre = RK.make_prepass(rot, with_rescue=True, rescue_budgets=BUDGETS,
+                              split_pieces=2, row0=ROW0, band_rows=BAND,
+                              **kw)
+        assert len(pre) == 4 and pre[3] is None
+        p8 = remap_fused.plan_with_rescue(rot, use_rescue=True, split=True,
+                                          **kw)
+        assert p8[6] is None and p8[7] == 0
+
 
 class TestSplitParity:
     @pytest.fixture(scope="class")
